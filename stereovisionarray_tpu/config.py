@@ -1,0 +1,177 @@
+"""Configuration tree for the engine.
+
+The reference has no config system — every parameter is a hard-coded literal
+in ``main`` (folder "Renders2" at ``/root/reference/src/CameraStereoVision.cpp:13``,
+f=0.05 / sensor=0.036 at ``:24-25``, grid spacing 0.05 / z=-0.75 at ``:37``,
+kernelSize=20 at ``:44``, topology MID_LEFT at ``:42``, refine window 21 at
+``:114``). Here all of that lives in one serializable dataclass tree, CLI-
+overridable (``cli.py``) and stored inside checkpoints (``utils/checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CameraArrayConfig:
+    """Geometry of the capture rig (reference: 5x5 grid, 0.05 m spacing,
+    origin (-0.1, -0.1), z = -0.75, f = 50 mm, 36 mm sensor across the image,
+    ``/root/reference/src/CameraStereoVision.cpp:24-39``)."""
+
+    rows: int = 5
+    cols: int = 5
+    spacing: float = 0.05
+    origin: Tuple[float, float] = (-0.1, -0.1)
+    z: float = -0.75
+    focal_length: float = 0.05
+    sensor_width: float = 0.036
+    resolution: Tuple[int, int] = (540, 720)  # (H, W)
+
+    @property
+    def pixel_size(self) -> float:
+        return self.sensor_width / self.resolution[1]
+
+
+@dataclass(frozen=True)
+class CostConfig:
+    """Matching-cost construction (replaces the reference's 41x41 SAD,
+    ``/root/reference/src/CameraStereoVision.cpp:44,57``)."""
+
+    census_window: Tuple[int, int] = (7, 9)  # (height, width), <= 64 bits
+    num_disparities: int = 128
+    bt_weight: float = 0.25  # Birchfield-Tomasi term weight vs census hamming
+    bt_clip: float = 32.0
+    dtype: str = "float32"  # accumulation dtype of the fused cost
+
+
+@dataclass(frozen=True)
+class SGMConfig:
+    """Semi-global aggregation (the reference has only winner-take-all;
+    SGM generalizes its local refinement into global smoothness)."""
+
+    p1: float = 8.0
+    p2: float = 96.0
+    num_paths: int = 8  # 4 (H/V) or 8 (+diagonals)
+    adaptive_p2: bool = True  # scale P2 down across intensity edges
+    p2_min: float = 24.0
+    lr_max_diff: float = 1.25  # left-right consistency threshold (px)
+    subpixel: bool = True  # parabola refinement
+    uniqueness: float = 0.95  # best/second-best ratio test (<=0 disables)
+
+
+@dataclass(frozen=True)
+class PlaneSweepConfig:
+    """N-view plane-sweep fusion over the camera array."""
+
+    num_planes: int = 128
+    z_near: float = 0.55
+    z_far: float = 1.1
+    topology: str = "to_center"  # PairTopology value
+    fusion: str = "topk_mean"  # 'mean' | 'topk_mean' | 'min'
+    topk: int = 6
+    cost: str = "census"  # 'census' | 'sad' | 'zncc'
+    patch: int = 5  # local window for sad/zncc
+
+
+@dataclass(frozen=True)
+class SfMConfig:
+    """Feature matching + bundle adjustment (replaces hard-coded poses)."""
+
+    max_features: int = 512
+    harris_k: float = 0.05
+    nms_radius: int = 4
+    descriptor_patch: int = 8
+    match_ratio: float = 0.9
+    ba_iterations: int = 20
+    ba_damping: float = 1e-3
+    huber_delta: float = 2.0
+    pose_graph_iterations: int = 10
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Axes: data (frames/pairs), disp (disparity axis of
+    the cost volume), tile (image rows). Sizes of 1 disable an axis."""
+
+    data: int = 1
+    disp: int = 1
+    tile: int = 1
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    camera: CameraArrayConfig = field(default_factory=CameraArrayConfig)
+    cost: CostConfig = field(default_factory=CostConfig)
+    sgm: SGMConfig = field(default_factory=SGMConfig)
+    plane_sweep: PlaneSweepConfig = field(default_factory=PlaneSweepConfig)
+    sfm: SfMConfig = field(default_factory=SfMConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+
+    # ------------------------------------------------------------------ #
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "EngineConfig":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key {k!r} for {tp.__name__}")
+                    ftype = fields[k].type
+                    ftype = _resolve(ftype)
+                    if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+                        kwargs[k] = build(ftype, v)
+                    elif isinstance(v, list):
+                        kwargs[k] = tuple(v)
+                    else:
+                        kwargs[k] = v
+                return tp(**kwargs)
+            return val
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EngineConfig":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, **dotted: Any) -> "EngineConfig":
+        """Functional override by dotted path, e.g.
+        ``cfg.override(**{"sgm.p1": 10, "cost.num_disparities": 64})``."""
+        d = self.to_dict()
+        for key, val in dotted.items():
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config path {key!r}")
+            node[parts[-1]] = val
+        return EngineConfig.from_dict(d)
+
+
+_TYPES = {
+    "CameraArrayConfig": CameraArrayConfig,
+    "CostConfig": CostConfig,
+    "SGMConfig": SGMConfig,
+    "PlaneSweepConfig": PlaneSweepConfig,
+    "SfMConfig": SfMConfig,
+    "MeshConfig": MeshConfig,
+    "EngineConfig": EngineConfig,
+}
+
+
+def _resolve(tp):
+    if isinstance(tp, str):
+        return _TYPES.get(tp, tp)
+    return tp

@@ -1,0 +1,21 @@
+from stereovisionarray_tpu.geometry.camera import (  # noqa: F401
+    CameraArray,
+    make_camera_array,
+    translation_only_array,
+    look_at_rotation,
+)
+from stereovisionarray_tpu.geometry.lie import (  # noqa: F401
+    so3_exp,
+    so3_log,
+    se3_exp,
+    se3_log,
+)
+from stereovisionarray_tpu.geometry.topology import (  # noqa: F401
+    PairTopology,
+    camera_pairs,
+    pair_groups,
+)
+from stereovisionarray_tpu.geometry.epipolar import (  # noqa: F401
+    epipolar_candidates,
+    rectified_shift_candidates,
+)

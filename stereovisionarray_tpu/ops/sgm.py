@@ -1,0 +1,184 @@
+"""8-path semi-global matching (SGM) aggregation as vectorized XLA scans.
+
+The reference has no global aggregation — winner-take-all over raw SAD
+(``/root/reference/src/CameraStereoVision.cpp:85``) plus a +-5-step local
+photoconsistency refine (``/root/reference/src/functions.cpp:27-39``). SGM
+generalizes that into the standard smoothness-regularized recurrence
+
+    L_r(p, d) = C(p, d) + min( L_r(p-r, d),
+                               L_r(p-r, d-1) + P1,
+                               L_r(p-r, d+1) + P1,
+                               min_d' L_r(p-r, d') + P2 )
+                       - min_d' L_r(p-r, d')
+
+aggregated over 4 or 8 path directions r.
+
+TPU mapping: the recurrence is sequential only along the scan direction; the
+carry is the full (W, D) [or (H, D)] wavefront, so every scan step is a dense
+VPU op over W*D lanes — exactly the "wavefront parallel across the
+perpendicular axis" design from SURVEY.md §7. Diagonal paths reuse the row
+scan with the carry shifted one column per step. All 8 paths and both scan
+orientations run as independent scans that XLA schedules back-to-back over
+the same HBM-resident cost volume.
+
+``sgm_aggregate_reference`` is the deliberately-slow numpy-style oracle used
+by the golden tests (SURVEY.md §4: "SGM single-path recurrence vs tiny
+dynamic-program oracle").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.float32(1e9)
+
+
+def _step(prev: jnp.ndarray, cost: jnp.ndarray, p1, p2) -> jnp.ndarray:
+    """One SGM recurrence step.
+
+    prev: (..., D) previous aggregated costs along the path.
+    cost: (..., D) matching cost at the current pixel front.
+    p1/p2: scalars or (...,1)-broadcastable arrays (adaptive P2)."""
+    prev_min = jnp.min(prev, axis=-1, keepdims=True)
+    up = jnp.concatenate([prev[..., :1] + p1 + 1.0, prev[..., :-1] + p1], axis=-1)
+    dn = jnp.concatenate([prev[..., 1:] + p1, prev[..., -1:] + p1 + 1.0], axis=-1)
+    best = jnp.minimum(jnp.minimum(prev, prev_min + p2), jnp.minimum(up, dn))
+    return cost + best - prev_min
+
+
+def _scan_along_axis0(
+    vol: jnp.ndarray, p1, p2, diag_shift: int = 0, p2_row: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Scan the SGM recurrence along axis 0 of vol (N_steps, W, D).
+
+    diag_shift: 0 for axis-aligned paths; +-1 shifts the carry one column per
+    step (diagonal paths). Shifted-in border columns get a fresh start
+    (carry = BIG so `best` falls back to prev_min + p2 semantics — standard
+    SGM border handling is carry = 0-cost restart; we restart with the raw
+    cost by making prev uninformative).
+    p2_row: optional (N_steps, W, 1) adaptive P2 per step (edge-aware)."""
+
+    def step(prev, xs):
+        cost, p2_t = xs
+        if diag_shift != 0:
+            pad = jnp.full_like(prev[:1], _BIG)
+            if diag_shift > 0:
+                prev = jnp.concatenate([pad, prev[:-1]], axis=0)
+            else:
+                prev = jnp.concatenate([prev[1:], pad], axis=0)
+        out = _step(prev, cost, p1, p2_t)
+        return out, out
+
+    if p2_row is None:
+        p2_arr = jnp.broadcast_to(jnp.asarray(p2, vol.dtype), (vol.shape[0], 1, 1))
+    else:
+        p2_arr = p2_row
+    # Path start: L(p0) = C(p0) — seed the carry with the first slice.
+    first = vol[0]
+    _, rest = jax.lax.scan(step, first, (vol[1:], p2_arr[1:]))
+    return jnp.concatenate([first[None], rest], axis=0)
+
+
+def _edge_p2(image: jnp.ndarray, axis: int, p2: float, p2_min: float, dtype) -> jnp.ndarray:
+    """Adaptive P2 per pixel: scale P2 down across strong intensity edges
+    (P2 / |grad|, floored at p2_min) — standard SGM practice, preserves depth
+    discontinuities the reference's local search smears."""
+    g = jnp.abs(jnp.diff(image.astype(dtype), axis=axis, prepend=jnp.take(image, jnp.array([0]), axis=axis).astype(dtype)))
+    return jnp.maximum(jnp.asarray(p2, dtype) / (1.0 + 0.5 * g), jnp.asarray(p2_min, dtype))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_paths", "adaptive_p2")
+)
+def sgm_aggregate(
+    vol: jnp.ndarray,
+    p1: float = 8.0,
+    p2: float = 96.0,
+    num_paths: int = 8,
+    image: Optional[jnp.ndarray] = None,
+    adaptive_p2: bool = False,
+    p2_min: float = 24.0,
+) -> jnp.ndarray:
+    """Aggregate an (H, W, D) cost volume over 4 or 8 SGM paths.
+
+    Returns the summed path costs (H, W, D) in vol.dtype (float32
+    recommended; int accumulation happens in the Pallas kernel variant).
+
+    image: (H, W) grayscale used for edge-adaptive P2 when adaptive_p2.
+    """
+    if num_paths not in (4, 8):
+        raise ValueError("num_paths must be 4 or 8")
+    h, w, D = vol.shape
+    dtype = vol.dtype
+    p1 = jnp.asarray(p1, dtype)
+
+    if adaptive_p2 and image is not None:
+        p2_y = _edge_p2(image, 0, p2, p2_min, dtype)[..., None]  # (H, W, 1)
+        p2_x = _edge_p2(image, 1, p2, p2_min, dtype)[..., None]
+    else:
+        p2_y = jnp.broadcast_to(jnp.asarray(p2, dtype), (h, w, 1))
+        p2_x = p2_y
+
+    total = jnp.zeros_like(vol)
+
+    # Vertical paths: scan over rows, carry (W, D)
+    total += _scan_along_axis0(vol, p1, None, 0, p2_row=p2_y)
+    total += jnp.flip(_scan_along_axis0(jnp.flip(vol, 0), p1, None, 0, p2_row=jnp.flip(p2_y, 0)), 0)
+
+    # Horizontal paths: transpose so columns lead, carry (H, D)
+    vol_t = jnp.swapaxes(vol, 0, 1)  # (W, H, D)
+    p2_x_t = jnp.swapaxes(p2_x, 0, 1)
+    lr = _scan_along_axis0(vol_t, p1, None, 0, p2_row=p2_x_t)
+    rl = jnp.flip(_scan_along_axis0(jnp.flip(vol_t, 0), p1, None, 0, p2_row=jnp.flip(p2_x_t, 0)), 0)
+    total += jnp.swapaxes(lr + rl, 0, 1)
+
+    if num_paths == 8:
+        # Diagonal paths: scan over rows with carry shifted +-1 column/step.
+        # Use the vertical-edge P2 (dominant direction of travel is y).
+        total += _scan_along_axis0(vol, p1, None, +1, p2_row=p2_y)
+        total += _scan_along_axis0(vol, p1, None, -1, p2_row=p2_y)
+        fv = jnp.flip(vol, 0)
+        fp = jnp.flip(p2_y, 0)
+        total += jnp.flip(_scan_along_axis0(fv, p1, None, +1, p2_row=fp), 0)
+        total += jnp.flip(_scan_along_axis0(fv, p1, None, -1, p2_row=fp), 0)
+
+    return total
+
+
+# ---------------------------------------------------------------------- #
+# Slow oracle for tests
+# ---------------------------------------------------------------------- #
+def sgm_aggregate_reference(
+    vol: np.ndarray, p1: float, p2: float, num_paths: int = 8
+) -> np.ndarray:
+    """Tiny dynamic-program oracle (pure numpy, per-pixel loops) used by the
+    golden tests to validate the scan kernels. Constant P2 only."""
+    vol = np.asarray(vol, dtype=np.float64)
+    h, w, D = vol.shape
+    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if num_paths == 8:
+        dirs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    total = np.zeros_like(vol)
+    for dy, dx in dirs:
+        L = np.zeros_like(vol)
+        ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
+        xs = range(w) if dx >= 0 else range(w - 1, -1, -1)
+        for y in ys:
+            for x in xs:
+                py, px = y - dy, x - dx
+                if 0 <= py < h and 0 <= px < w:
+                    prev = L[py, px]
+                    pmin = prev.min()
+                    cand = np.minimum(prev, pmin + p2)
+                    cand = np.minimum(cand, np.concatenate([[prev[0] + p1 + 1.0], prev[:-1] + p1]))
+                    cand = np.minimum(cand, np.concatenate([prev[1:] + p1, [prev[-1] + p1 + 1.0]]))
+                    L[y, x] = vol[y, x] + cand - pmin
+                else:
+                    L[y, x] = vol[y, x]
+        total += L
+    return total
