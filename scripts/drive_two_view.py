@@ -1,6 +1,8 @@
 """Verification drive: library surface end-to-end (synthetic rectified pair ->
 fused cost volume -> 8-path SGM -> disparity extraction -> bad-2.0)."""
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -80,3 +82,33 @@ rc = disparity_from_volume(sgm_aggregate(volc), subpixel=True)
 assert bool(jnp.isfinite(rc.disparity).all())
 print("degenerate constant image: finite, no NaN")
 print("DRIVE OK")
+
+# ---------------------------------------------------------------------- #
+# Full-surface drive: synthetic array render -> two_view pipeline -> PNGs
+# ---------------------------------------------------------------------- #
+from stereovisionarray_tpu.config import CostConfig, SGMConfig
+from stereovisionarray_tpu.datasets import SceneSpec, reference_rig, render_view
+from stereovisionarray_tpu.datasets.io import save_png
+from stereovisionarray_tpu.models import two_view_disparity, depth_to_disparity
+
+res = (96, 128)
+rig = reference_rig(resolution=res)
+img_c, dep_c = render_view(rig, 12, res, SceneSpec())
+img_l, _ = render_view(rig, 11, res, SceneSpec())
+Bm = float(np.linalg.norm(np.asarray(rig.centers)[12] - np.asarray(rig.centers)[11]))
+fx = float(rig.fx[12])
+gtd = np.asarray(depth_to_disparity(jnp.asarray(dep_c), Bm, fx))
+out = two_view_disparity(jnp.asarray(img_c[:, ::-1]), jnp.asarray(img_l[:, ::-1]),
+                         CostConfig(num_disparities=16), SGMConfig(),
+                         baseline=Bm, focal_px=fx)
+m = jnp.asarray(np.arange(res[1])[None, :] >= gtd[:, ::-1] + 1)
+bad_syn = float(bad_pixel_ratio(out.disparity, jnp.asarray(gtd[:, ::-1]), 2.0, mask=m))
+print(f"synthetic render -> pipeline: bad2.0={bad_syn:.4f}")
+assert bad_syn < 0.08, bad_syn
+import tempfile, os as _os
+with tempfile.TemporaryDirectory() as td:
+    save_png(_os.path.join(td, "disp.png"), np.asarray(out.disparity))
+    save_png(_os.path.join(td, "err.png"), np.asarray(out.depth) - dep_c[:, ::-1])
+    assert _os.path.getsize(_os.path.join(td, "disp.png")) > 100
+print("artifact PNGs written OK")
+print("FULL DRIVE OK")

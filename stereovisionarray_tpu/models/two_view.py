@@ -1,0 +1,109 @@
+"""Two-view rectified SGM disparity pipeline — BASELINE.json configs 1 + 2,
+the minimum end-to-end slice (SURVEY.md §7 step 5).
+
+Replaces the reference's driver loop (``/root/reference/src/CameraStereoVision.cpp:49-100``):
+per-pixel patch SAD over Bresenham candidates + WTA + uint8 disparity +
+depth = camDist * f / (d * pixelSize). Here the whole pipeline is one jitted
+function: census/BT cost volume -> 8-path SGM -> WTA + subpixel + uniqueness
++ LR check -> float disparity -> guarded depth conversion (the reference
+divides by zero at ``:100``; we emit an explicit invalid sentinel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stereovisionarray_tpu.config import CostConfig, SGMConfig
+from stereovisionarray_tpu.ops.cost_volume import fused_cost_volume, right_from_left_volume
+from stereovisionarray_tpu.ops.sgm import sgm_aggregate
+from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY, disparity_from_volume
+
+
+class TwoViewOutput(NamedTuple):
+    disparity: jnp.ndarray  # (H, W) float32, INVALID_DISPARITY where rejected
+    valid: jnp.ndarray  # (H, W) bool
+    cost: jnp.ndarray  # (H, W) winning aggregated cost
+    depth: Optional[jnp.ndarray] = None  # (H, W) when baseline+focal given
+
+
+def disparity_to_depth(
+    disparity: jnp.ndarray,
+    baseline: float,
+    focal_px: float,
+    invalid_fill: float = 0.0,
+) -> jnp.ndarray:
+    """depth = B * f_px / d, guarded against d <= 0 (reference divides by
+    zero, ``/root/reference/src/CameraStereoVision.cpp:98-100`` — its formula
+    ``camDistance * f / (disp * pixelSize)`` is the same with f in meters,
+    since f_px = f / pixel_size)."""
+    safe = jnp.where(disparity > 1e-6, disparity, 1.0)
+    depth = baseline * focal_px / safe
+    return jnp.where(disparity > 1e-6, depth, invalid_fill)
+
+
+def depth_to_disparity(
+    depth: jnp.ndarray, baseline: float, focal_px: float, invalid_fill: float = 0.0
+) -> jnp.ndarray:
+    """Inverse of :func:`disparity_to_depth` (same guarded hyperbola)."""
+    safe = jnp.where(depth > 1e-9, depth, 1.0)
+    disp = baseline * focal_px / safe
+    return jnp.where(depth > 1e-9, disp, invalid_fill)
+
+
+@functools.partial(jax.jit, static_argnames=("cost_cfg", "sgm_cfg", "baseline", "focal_px"))
+def two_view_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cost_cfg: CostConfig = CostConfig(),
+    sgm_cfg: SGMConfig = SGMConfig(),
+    mask: Optional[jnp.ndarray] = None,
+    baseline: Optional[float] = None,
+    focal_px: Optional[float] = None,
+) -> TwoViewOutput:
+    """Full rectified two-view pipeline on (H, W) grayscale images.
+
+    All stages run on-device in one compiled program; configs are static
+    (hashable frozen dataclasses) so each config compiles once.
+    """
+    dtype = jnp.dtype(cost_cfg.dtype)
+    left = left.astype(dtype)
+    right = right.astype(dtype)
+    vol = fused_cost_volume(
+        left,
+        right,
+        cost_cfg.num_disparities,
+        census_window=cost_cfg.census_window,
+        bt_weight=cost_cfg.bt_weight,
+        bt_clip=cost_cfg.bt_clip,
+        dtype=dtype,
+    )
+    agg = sgm_aggregate(
+        vol,
+        p1=sgm_cfg.p1,
+        p2=sgm_cfg.p2,
+        num_paths=sgm_cfg.num_paths,
+        image=left,
+        adaptive_p2=sgm_cfg.adaptive_p2,
+        p2_min=sgm_cfg.p2_min,
+    )
+    vol_right = right_from_left_volume(agg) if sgm_cfg.lr_max_diff > 0 else None
+    res = disparity_from_volume(
+        agg,
+        vol_right=vol_right,
+        subpixel=sgm_cfg.subpixel,
+        uniqueness=sgm_cfg.uniqueness,
+        lr_max_diff=sgm_cfg.lr_max_diff,
+        mask=mask,
+    )
+    depth = None
+    if baseline is not None and focal_px is not None:
+        depth = jnp.where(
+            res.valid,
+            disparity_to_depth(res.disparity, baseline, focal_px),
+            0.0,
+        )
+    return TwoViewOutput(disparity=res.disparity, valid=res.valid, cost=res.cost, depth=depth)

@@ -48,7 +48,9 @@ def _step(prev: jnp.ndarray, cost: jnp.ndarray, p1, p2) -> jnp.ndarray:
     up = jnp.concatenate([prev[..., :1] + p1 + 1.0, prev[..., :-1] + p1], axis=-1)
     dn = jnp.concatenate([prev[..., 1:] + p1, prev[..., -1:] + p1 + 1.0], axis=-1)
     best = jnp.minimum(jnp.minimum(prev, prev_min + p2), jnp.minimum(up, dn))
-    return cost + best - prev_min
+    # (best - prev_min) BEFORE adding cost: at fresh-start borders the carry
+    # is _BIG and f32 absorption in (cost + _BIG) - _BIG would zero the cost
+    return cost + (best - prev_min)
 
 
 def _scan_along_axis0(

@@ -1,0 +1,146 @@
+"""Dataset layer tests: synthetic renderer geometry, PFM roundtrip, calib
+parsing, deterministic listing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stereovisionarray_tpu.datasets import (
+    SceneSpec,
+    list_images_sorted,
+    load_array,
+    parse_calib,
+    read_pfm,
+    reference_rig,
+    render_camera_array,
+    render_view,
+    save_array,
+    save_png,
+    write_pfm,
+)
+
+
+class TestSynthetic:
+    def test_render_shapes_and_determinism(self):
+        rig = reference_rig(resolution=(40, 56))
+        imgs, deps = render_camera_array(rig, (40, 56))
+        assert imgs.shape == (25, 40, 56)
+        assert deps.shape == (25, 40, 56)
+        imgs2, deps2 = render_camera_array(rig, (40, 56))
+        np.testing.assert_array_equal(imgs, imgs2)
+        np.testing.assert_array_equal(deps, deps2)
+
+    def test_depth_layers(self):
+        """Depth map must contain the background plane and the nearer patches
+        at their configured camera-frame depths."""
+        rig = reference_rig(resolution=(60, 80))
+        scene = SceneSpec()
+        _, dep = render_view(rig, 12, (60, 80), scene)
+        cam_z = -0.75
+        # background plane at z=0.25 -> camera depth 1.0 at the optical axis
+        assert dep.max() == pytest.approx(0.25 - cam_z, rel=0.05)
+        # nearest object (sphere front at z=0.18-0.045) must appear
+        assert dep.min() <= (0.18 - 0.045) - cam_z + 0.02
+
+    def test_views_differ_by_parallax(self):
+        rig = reference_rig(resolution=(40, 56))
+        scene = SceneSpec()
+        img_c, _ = render_view(rig, 12, (40, 56), scene)
+        img_l, _ = render_view(rig, 11, (40, 56), scene)
+        assert not np.allclose(img_c, img_l)  # parallax
+        # but same scene: means close
+        assert abs(img_c.mean() - img_l.mean()) < 10.0
+
+    def test_rendered_pair_is_geometrically_consistent(self):
+        """Golden geometry check: warping view 11 into view 12 using the
+        TRUE depth must reproduce view 12 almost everywhere (texture is
+        Lambertian; only occlusion boundaries may differ)."""
+        import jax.numpy as jnp
+
+        from stereovisionarray_tpu.ops import warp_with_disparity
+        from stereovisionarray_tpu.models import depth_to_disparity
+
+        res = (48, 64)
+        rig = reference_rig(resolution=res)
+        scene = SceneSpec()
+        img_c, dep_c = render_view(rig, 12, res, scene)
+        img_l, _ = render_view(rig, 11, res, scene)
+        baseline = float(np.linalg.norm(np.asarray(rig.centers)[12] - np.asarray(rig.centers)[11]))
+        disp = depth_to_disparity(jnp.asarray(dep_c), baseline, float(rig.fx[12]))
+        # camera 11 sits at smaller x than 12, so u_11 = u_12 + fx*B/z = u + d:
+        # reconstructing view 12 gathers view 11 at +d along x.
+        warped, ok = warp_with_disparity(jnp.asarray(img_l), disp, jnp.asarray([1.0, 0.0]))
+        m = np.asarray(ok)
+        err = np.median(np.abs(np.asarray(warped) - img_c)[m])
+        assert err < 6.0  # interpolation-level agreement (texture is aliased
+        # at this tiny test resolution; geometric error would be ~30)
+        # wrong direction must be catastrophically worse — pins the convention
+        wrong, ok2 = warp_with_disparity(jnp.asarray(img_l), disp, jnp.asarray([-1.0, 0.0]))
+        err_wrong = np.median(np.abs(np.asarray(wrong) - img_c)[np.asarray(ok2)])
+        assert err_wrong > 3.0 * err
+
+
+class TestPFM:
+    def test_roundtrip(self, tmp_path, rng):
+        arr = rng.normal(size=(17, 23)).astype(np.float32)
+        p = str(tmp_path / "x.pfm")
+        write_pfm(p, arr)
+        back = read_pfm(p)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_roundtrip_color(self, tmp_path, rng):
+        arr = rng.normal(size=(9, 11, 3)).astype(np.float32)
+        p = str(tmp_path / "c.pfm")
+        write_pfm(p, arr)
+        np.testing.assert_array_equal(read_pfm(p), arr)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "bad.pfm")
+        with open(p, "wb") as f:
+            f.write(b"NOTPFM\n1 1\n-1\n\x00\x00\x00\x00")
+        with pytest.raises(ValueError):
+            read_pfm(p)
+
+
+class TestCalib:
+    def test_parse(self):
+        text = """cam0=[3979.911 0 1244.772; 0 3979.911 1019.507; 0 0 1]
+cam1=[3979.911 0 1369.115; 0 3979.911 1019.507; 0 0 1]
+doffs=124.343
+baseline=193.001
+width=2964
+height=1988
+ndisp=280
+"""
+        c = parse_calib(text)
+        assert c["ndisp"] == 280
+        assert c["doffs"] == pytest.approx(124.343)
+        assert c["cam0"].shape == (3, 3)
+        assert c["cam0"][0, 0] == pytest.approx(3979.911)
+        assert c["cam1"][0, 2] == pytest.approx(1369.115)
+
+
+class TestIO:
+    def test_sorted_listing(self, tmp_path):
+        names = ["b.png", "a.png", "j.png", "c.txt", "d.jpg"]
+        for n in names:
+            (tmp_path / n).write_bytes(b"")
+        got = [os.path.basename(p) for p in list_images_sorted(str(tmp_path))]
+        assert got == ["a.png", "b.png", "d.jpg", "j.png"]
+
+    def test_array_roundtrip(self, tmp_path, rng):
+        p = str(tmp_path / "ckpt.npz")
+        a = rng.normal(size=(4, 5)).astype(np.float32)
+        save_array(p, {"depth": a}, metadata={"stage": "test"})
+        arrays, meta = load_array(p)
+        np.testing.assert_array_equal(arrays["depth"], a)
+        assert meta["stage"] == "test"
+        assert meta["version"] == 1
+
+    def test_save_png(self, tmp_path, rng):
+        import imageio.v3 as iio
+
+        p = str(tmp_path / "img.png")
+        save_png(p, rng.normal(size=(8, 8)))
+        assert iio.imread(p).shape == (8, 8)
