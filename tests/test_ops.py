@@ -79,8 +79,14 @@ class TestCensus:
         assert np.all(interior[..., d_true] == 0)
         d, _ = winner_take_all(jnp.asarray(vol))
         # argmin tie-breaks to the lowest d, and random texture can collide
-        # census codes occasionally — demand 99% not 100%
-        assert (np.asarray(d)[3:-3, 8:-8] == d_true).mean() > 0.99
+        # census codes occasionally — any disagreement must be a true zero-cost
+        # tie with the correct disparity, never a strictly better wrong match
+        d_int = np.asarray(d)[3:-3, 8:-8]
+        disagree = d_int != d_true
+        assert disagree.mean() < 0.05
+        if disagree.any():
+            ys, xs = np.nonzero(disagree)
+            assert np.all(interior[ys, xs, d_int[disagree]] == 0)
 
     def test_bt_volume_zero_at_true_disparity(self, rng):
         d_true = 3
