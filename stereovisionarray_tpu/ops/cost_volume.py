@@ -28,10 +28,13 @@ def census_cost_volume(
     num_disparities: int,
     window: Tuple[int, int] = (7, 9),
     dtype=jnp.float32,
+    d_offset: int = 0,
 ) -> jnp.ndarray:
     """(H, W, D) census hamming cost volume for a rectified pair.
 
     cost[y, x, d] = hamming(census_L[y, x], census_R[y, x - d]).
+    d_offset shifts the candidate range to [d_offset, d_offset + D) — the
+    disparity-sharding hook (each ``disp`` mesh shard builds its own chunk).
     Out-of-image candidates (x < d) get the worst possible hamming cost so
     WTA never selects them (the reference instead *skips* out-of-bounds
     candidates, ``/root/reference/src/CameraStereoVision.cpp:66-71``).
@@ -48,7 +51,7 @@ def census_cost_volume(
         x = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 1)
         return jnp.where(x < d, jnp.asarray(n_bits, dtype=dtype), c)
 
-    d_idx = jnp.arange(num_disparities, dtype=jnp.int32)
+    d_idx = d_offset + jnp.arange(num_disparities, dtype=jnp.int32)
     vol = jax.vmap(cost_at, out_axes=-1)(d_idx)  # (H, W, D)
     return vol
 
@@ -71,6 +74,7 @@ def birchfield_tomasi_volume(
     num_disparities: int,
     clip: float = 32.0,
     dtype=jnp.float32,
+    d_offset: int = 0,
 ) -> jnp.ndarray:
     """(H, W, D) Birchfield-Tomasi sampling-insensitive absolute difference.
 
@@ -103,7 +107,7 @@ def birchfield_tomasi_volume(
         x = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 1)
         return jnp.where(x < d, jnp.asarray(clip, dtype=dtype), c)
 
-    d_idx = jnp.arange(num_disparities, dtype=jnp.int32)
+    d_idx = d_offset + jnp.arange(num_disparities, dtype=jnp.int32)
     return jax.vmap(cost_at, out_axes=-1)(d_idx)
 
 
@@ -115,13 +119,16 @@ def fused_cost_volume(
     bt_weight: float = 0.25,
     bt_clip: float = 32.0,
     dtype=jnp.float32,
+    d_offset: int = 0,
 ) -> jnp.ndarray:
     """Census hamming + weighted BT — the production matching cost
     (PlaneSweep/SGM configs 1-2 in BASELINE.json)."""
-    vol = census_cost_volume(left, right, num_disparities, census_window, dtype=dtype)
+    vol = census_cost_volume(
+        left, right, num_disparities, census_window, dtype=dtype, d_offset=d_offset
+    )
     if bt_weight > 0.0:
         vol = vol + bt_weight * birchfield_tomasi_volume(
-            left, right, num_disparities, clip=bt_clip, dtype=dtype
+            left, right, num_disparities, clip=bt_clip, dtype=dtype, d_offset=d_offset
         )
     return vol
 

@@ -94,9 +94,74 @@ def _edge_p2(image: jnp.ndarray, axis: int, p2: float, p2_min: float, dtype) -> 
     return jnp.maximum(jnp.asarray(p2, dtype) / (1.0 + 0.5 * g), jnp.asarray(p2_min, dtype))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_paths", "adaptive_p2")
-)
+# Path ids: 0 down, 1 up, 2 left->right, 3 right->left, 4..7 diagonals
+# (down-right, down-left, up-right, up-left). Paths 0-3 are the 4-path set.
+ALL_PATH_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
+
+
+@functools.partial(jax.jit, static_argnames=("path_ids", "adaptive_p2"))
+def sgm_aggregate_paths(
+    vol: jnp.ndarray,
+    p1: float = 8.0,
+    p2: float = 96.0,
+    path_ids: tuple = ALL_PATH_IDS,
+    image: Optional[jnp.ndarray] = None,
+    adaptive_p2: bool = False,
+    p2_min: float = 24.0,
+) -> jnp.ndarray:
+    """Aggregate an (H, W, D) cost volume over the given subset of the 8 SGM
+    paths. The subset form is the unit of *path parallelism*: the ``disp``
+    mesh axis splits ``ALL_PATH_IDS`` across shards and ``psum``s the partial
+    sums (parallel/two_view.py), since total = sum over independent paths."""
+    h, w, D = vol.shape
+    dtype = vol.dtype
+    p1 = jnp.asarray(p1, dtype)
+
+    if adaptive_p2 and image is not None:
+        p2_y = _edge_p2(image, 0, p2, p2_min, dtype)[..., None]  # (H, W, 1)
+        p2_x = _edge_p2(image, 1, p2, p2_min, dtype)[..., None]
+    else:
+        p2_y = jnp.broadcast_to(jnp.asarray(p2, dtype), (h, w, 1))
+        p2_x = p2_y
+
+    total = jnp.zeros_like(vol)
+    fv = jnp.flip(vol, 0)
+    fp = jnp.flip(p2_y, 0)
+
+    for pid in path_ids:
+        if pid == 0:  # down: scan over rows, carry (W, D)
+            total += _scan_along_axis0(vol, p1, None, 0, p2_row=p2_y)
+        elif pid == 1:  # up
+            total += jnp.flip(
+                _scan_along_axis0(fv, p1, None, 0, p2_row=fp), 0
+            )
+        elif pid == 2:  # left -> right: transpose so columns lead, carry (H, D)
+            vol_t = jnp.swapaxes(vol, 0, 1)
+            total += jnp.swapaxes(
+                _scan_along_axis0(vol_t, p1, None, 0, p2_row=jnp.swapaxes(p2_x, 0, 1)), 0, 1
+            )
+        elif pid == 3:  # right -> left
+            vol_t = jnp.flip(jnp.swapaxes(vol, 0, 1), 0)
+            p2_t = jnp.flip(jnp.swapaxes(p2_x, 0, 1), 0)
+            total += jnp.swapaxes(
+                jnp.flip(_scan_along_axis0(vol_t, p1, None, 0, p2_row=p2_t), 0), 0, 1
+            )
+        # Diagonal paths: scan over rows with carry shifted +-1 column/step.
+        # Use the vertical-edge P2 (dominant direction of travel is y).
+        elif pid == 4:
+            total += _scan_along_axis0(vol, p1, None, +1, p2_row=p2_y)
+        elif pid == 5:
+            total += _scan_along_axis0(vol, p1, None, -1, p2_row=p2_y)
+        elif pid == 6:
+            total += jnp.flip(_scan_along_axis0(fv, p1, None, +1, p2_row=fp), 0)
+        elif pid == 7:
+            total += jnp.flip(_scan_along_axis0(fv, p1, None, -1, p2_row=fp), 0)
+        else:
+            raise ValueError(f"unknown SGM path id {pid}")
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("num_paths", "adaptive_p2"))
 def sgm_aggregate(
     vol: jnp.ndarray,
     p1: float = 8.0,
@@ -115,41 +180,15 @@ def sgm_aggregate(
     """
     if num_paths not in (4, 8):
         raise ValueError("num_paths must be 4 or 8")
-    h, w, D = vol.shape
-    dtype = vol.dtype
-    p1 = jnp.asarray(p1, dtype)
-
-    if adaptive_p2 and image is not None:
-        p2_y = _edge_p2(image, 0, p2, p2_min, dtype)[..., None]  # (H, W, 1)
-        p2_x = _edge_p2(image, 1, p2, p2_min, dtype)[..., None]
-    else:
-        p2_y = jnp.broadcast_to(jnp.asarray(p2, dtype), (h, w, 1))
-        p2_x = p2_y
-
-    total = jnp.zeros_like(vol)
-
-    # Vertical paths: scan over rows, carry (W, D)
-    total += _scan_along_axis0(vol, p1, None, 0, p2_row=p2_y)
-    total += jnp.flip(_scan_along_axis0(jnp.flip(vol, 0), p1, None, 0, p2_row=jnp.flip(p2_y, 0)), 0)
-
-    # Horizontal paths: transpose so columns lead, carry (H, D)
-    vol_t = jnp.swapaxes(vol, 0, 1)  # (W, H, D)
-    p2_x_t = jnp.swapaxes(p2_x, 0, 1)
-    lr = _scan_along_axis0(vol_t, p1, None, 0, p2_row=p2_x_t)
-    rl = jnp.flip(_scan_along_axis0(jnp.flip(vol_t, 0), p1, None, 0, p2_row=jnp.flip(p2_x_t, 0)), 0)
-    total += jnp.swapaxes(lr + rl, 0, 1)
-
-    if num_paths == 8:
-        # Diagonal paths: scan over rows with carry shifted +-1 column/step.
-        # Use the vertical-edge P2 (dominant direction of travel is y).
-        total += _scan_along_axis0(vol, p1, None, +1, p2_row=p2_y)
-        total += _scan_along_axis0(vol, p1, None, -1, p2_row=p2_y)
-        fv = jnp.flip(vol, 0)
-        fp = jnp.flip(p2_y, 0)
-        total += jnp.flip(_scan_along_axis0(fv, p1, None, +1, p2_row=fp), 0)
-        total += jnp.flip(_scan_along_axis0(fv, p1, None, -1, p2_row=fp), 0)
-
-    return total
+    return sgm_aggregate_paths(
+        vol,
+        p1=p1,
+        p2=p2,
+        path_ids=ALL_PATH_IDS[:num_paths],
+        image=image,
+        adaptive_p2=adaptive_p2,
+        p2_min=p2_min,
+    )
 
 
 # ---------------------------------------------------------------------- #

@@ -1,0 +1,133 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+"jax.distributed multi-process tests on CPU backend ... so disparity-sharding
+and Schur-reduction collectives are testable without a pod")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereovisionarray_tpu.config import CostConfig, SGMConfig
+from stereovisionarray_tpu.models.two_view import two_view_disparity
+from stereovisionarray_tpu.ops.cost_volume import fused_cost_volume
+from stereovisionarray_tpu.ops.wta import winner_take_all
+from stereovisionarray_tpu.parallel import (
+    make_mesh,
+    sharded_two_view_disparity,
+    sharded_wta,
+)
+from stereovisionarray_tpu.parallel.mesh import default_mesh_shape
+
+
+def _stereo_batch(rng, b=2, h=48, w=64, d_true=5):
+    """Synthetic rectified batch: right = left shifted d_true px, box-smoothed
+    so census windows carry structure."""
+    lefts, rights = [], []
+
+    def box(img):
+        p = np.pad(img, 1, mode="edge")
+        return (
+            p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:] + p[1:-1, :-2] + p[1:-1, 1:-1]
+            + p[1:-1, 2:] + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+        ) / 9.0
+
+    for _ in range(b):
+        base = box(rng.uniform(0, 255, size=(h, w + d_true)).astype(np.float32))
+        # left sees content d_true px to the right of where right sees it:
+        # left[x] = base[x], right[x] = base[x + d] => right[x - d] = left[x]
+        lefts.append(base[:, :w])
+        rights.append(base[:, d_true:])
+    return np.stack(lefts), np.stack(rights)
+
+
+CFG_COST = CostConfig(num_disparities=16, census_window=(5, 5))
+CFG_SGM = SGMConfig(p1=4.0, p2=32.0, num_paths=8, adaptive_p2=True)
+
+
+class TestMesh:
+    def test_default_shape_products(self):
+        for n in (1, 2, 4, 8, 16):
+            shape = default_mesh_shape(n)
+            assert int(np.prod(shape)) == n
+
+    def test_make_mesh(self):
+        mesh = make_mesh(2, 2, 2)
+        assert mesh.shape == {"data": 2, "tile": 2, "disp": 2}
+
+
+class TestShardedTwoView:
+    def _run(self, rng, mesh_shape, halo):
+        left, right = _stereo_batch(rng)
+        mesh = make_mesh(*mesh_shape)
+        out = sharded_two_view_disparity(
+            jnp.asarray(left), jnp.asarray(right), mesh, CFG_COST, CFG_SGM, halo=halo
+        )
+        ref = jax.vmap(
+            lambda l, r: two_view_disparity(l, r, CFG_COST, CFG_SGM)[:3]
+        )(jnp.asarray(left), jnp.asarray(right))
+        d_sh, v_sh = np.asarray(out.disparity), np.asarray(out.valid)
+        d_ref, v_ref = np.asarray(ref[0]), np.asarray(ref[1])
+        exact = ((np.abs(d_sh - d_ref) < 1e-3) | (~v_ref & ~v_sh)).mean()
+        close = ((np.abs(d_sh - d_ref) < 0.5) | (~v_ref & ~v_sh)).mean()
+        return exact, close
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (1, 1, 8)])
+    def test_exact_when_halo_covers_block(self, rng, mesh_shape):
+        """With halo >= local block size (or no tile sharding), every SGM
+        path sees its full history: data/disp sharding and fully-covered tile
+        sharding must reproduce the unsharded result bit-for-bit."""
+        exact, _ = self._run(rng, mesh_shape, halo=32)
+        assert exact == 1.0, f"exact {exact} on mesh {mesh_shape}"
+
+    @pytest.mark.parametrize("mesh_shape,halo,bound", [((2, 2, 2), 16, 0.97)])
+    def test_truncated_halo_close(self, rng, mesh_shape, halo, bound):
+        """Small halos truncate vertical/diagonal path history; agreement
+        must stay high and degrade gracefully (SURVEY.md §7 'hard parts')."""
+        _, close = self._run(rng, mesh_shape, halo)
+        assert close > bound, f"within-0.5px {close} on mesh {mesh_shape}"
+
+    def test_true_disparity_recovered(self, rng):
+        d_true = 5
+        left, right = _stereo_batch(rng, d_true=d_true)
+        # same mesh/halo as test_truncated_halo_close -> jit cache hit
+        mesh = make_mesh(2, 2, 2)
+        out = sharded_two_view_disparity(
+            jnp.asarray(left), jnp.asarray(right), mesh, CFG_COST, CFG_SGM, halo=16
+        )
+        d = np.asarray(out.disparity)
+        v = np.asarray(out.valid)
+        inner = np.zeros_like(v)
+        inner[:, 8:-8, 12:-12] = True
+        sel = v & inner
+        assert sel.sum() / inner.sum() > 0.9  # nearly all interior pixels valid
+        assert np.abs(d[sel] - d_true).mean() < 0.5
+
+
+class TestShardedWTA:
+    def test_matches_unsharded(self, rng):
+        vol = jnp.asarray(rng.uniform(0, 64, size=(32, 128, 32)).astype(np.float32))
+        mesh = make_mesh(1, 2, 4)
+        d_sh, c_sh = sharded_wta(vol, mesh)
+        d_ref, c_ref = winner_take_all(vol)
+        np.testing.assert_array_equal(np.asarray(d_sh), np.asarray(d_ref))
+        np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref), rtol=1e-6)
+
+    def test_tie_break_lowest_d(self):
+        vol = jnp.zeros((8, 128, 32), dtype=jnp.float32)  # all ties
+        mesh = make_mesh(1, 2, 4)
+        d_sh, _ = sharded_wta(vol, mesh)
+        assert np.all(np.asarray(d_sh) == 0)
+
+
+class TestDispOffset:
+    def test_cost_chunks_concatenate(self, rng):
+        left, right = _stereo_batch(rng, b=1)
+        l, r = jnp.asarray(left[0]), jnp.asarray(right[0])
+        full = fused_cost_volume(l, r, 16, census_window=(5, 5))
+        chunks = [
+            fused_cost_volume(l, r, 4, census_window=(5, 5), d_offset=o)
+            for o in (0, 4, 8, 12)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(chunks, axis=-1)), np.asarray(full), rtol=1e-6
+        )
