@@ -4,3 +4,8 @@ from stereovisionarray_tpu.models.two_view import (  # noqa: F401
     depth_to_disparity,
     two_view_disparity,
 )
+from stereovisionarray_tpu.models.plane_sweep import (  # noqa: F401
+    PlaneSweepOutput,
+    plane_sweep_depth,
+    plane_sweep_volume,
+)

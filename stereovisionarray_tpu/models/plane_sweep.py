@@ -1,0 +1,209 @@
+"""N-view plane-sweep depth over the camera array — BASELINE.json config 3.
+
+The idiomatic generalization of the reference's multi-view machinery:
+ - per-pair perspective warps (``/root/reference/src/functions.cpp:55-103``)
+   become one 3x3 fronto-parallel-plane homography per (view, depth-plane),
+   applied to the whole pixel grid as einsum + bilinear gather;
+ - the pair topologies (``/root/reference/src/functions.cpp:148-213``) choose
+   which array views contribute;
+ - the +-5-step local photoconsistency refine
+   (``improveWithDisparity``, ``/root/reference/src/functions.cpp:11-52``)
+   becomes a dense sweep over D depth planes with robust multi-view cost
+   fusion — instead of updating one disparity map pair-by-pair (last pair
+   wins, reference bug §2.3.4), all views vote in one cost volume.
+
+TPU mapping: the sweep is a ``lax.map`` over planes (bounds the (S, H, W)
+warp intermediate), each plane a vmap over source views of
+warp + census/SAD/ZNCC cost, fused over views by mean / top-k mean. The
+resulting (H, W, D) volume feeds the same SGM aggregation as two-view
+stereo — smoothness across *plane index* plays the role of disparity
+smoothness — then WTA + parabola refinement in inverse-depth space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from stereovisionarray_tpu.config import PlaneSweepConfig, SGMConfig
+from stereovisionarray_tpu.geometry.camera import CameraArray
+from stereovisionarray_tpu.geometry.epipolar import inverse_depth_samples
+from stereovisionarray_tpu.ops.census import census_transform, hamming_distance
+from stereovisionarray_tpu.ops.sgm import sgm_aggregate
+from stereovisionarray_tpu.ops.warp import homography_warp
+from stereovisionarray_tpu.ops.wta import winner_take_all, subpixel_refine
+
+
+class PlaneSweepOutput(NamedTuple):
+    depth: jnp.ndarray  # (H, W) float32 fused depth, 0 where invalid
+    plane: jnp.ndarray  # (H, W) float32 fractional winning plane index
+    cost: jnp.ndarray  # (H, W) winning fused cost
+    valid: jnp.ndarray  # (H, W) bool
+    num_views: jnp.ndarray  # (H, W) int32 valid views at the winning plane
+
+
+def _box_filter(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(.., H, W) mean filter with a k x k window via two separable cumsum
+    passes (edge-padded) — O(HW) independent of k."""
+    if k <= 1:
+        return x
+    p = k // 2
+
+    def along(a, axis):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (p + 1, p)
+        ap = jnp.pad(a, pad, mode="edge")
+        c = jnp.cumsum(ap, axis=axis)
+        upper = jax.lax.slice_in_dim(c, k, k + a.shape[axis], axis=axis)
+        lower = jax.lax.slice_in_dim(c, 0, a.shape[axis], axis=axis)
+        return (upper - lower) / k
+
+    return along(along(x, -1), -2)
+
+
+def _view_cost(
+    ref: jnp.ndarray,
+    ref_census: Optional[jnp.ndarray],
+    warped: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: PlaneSweepConfig,
+    dtype,
+) -> jnp.ndarray:
+    """Photoconsistency cost of one warped view against the reference.
+    Invalid (out-of-view) pixels get the cost ceiling so fusion ignores them
+    via the top-k (reference instead skipped them pixel-by-pixel,
+    ``/root/reference/src/CameraStereoVision.cpp:66-71``)."""
+    if cfg.cost == "census":
+        wc = census_transform(warped, (cfg.patch, cfg.patch))
+        c = hamming_distance(ref_census, wc, dtype=dtype)
+        ceiling = jnp.asarray(cfg.patch * cfg.patch - 1, dtype)
+    elif cfg.cost == "sad":
+        c = _box_filter(jnp.abs(ref - warped), cfg.patch)
+        ceiling = jnp.asarray(255.0, dtype)
+    elif cfg.cost == "zncc":
+        mu_r = _box_filter(ref, cfg.patch)
+        mu_w = _box_filter(warped, cfg.patch)
+        var_r = _box_filter(ref * ref, cfg.patch) - mu_r * mu_r
+        var_w = _box_filter(warped * warped, cfg.patch) - mu_w * mu_w
+        cov = _box_filter(ref * warped, cfg.patch) - mu_r * mu_w
+        ncc = cov * jax.lax.rsqrt(jnp.maximum(var_r * var_w, 1e-6))
+        c = 1.0 - jnp.clip(ncc, -1.0, 1.0)  # in [0, 2]
+        ceiling = jnp.asarray(2.0, dtype)
+    else:
+        raise ValueError(f"unknown plane-sweep cost {cfg.cost!r}")
+    return jnp.where(valid, c, ceiling), ceiling
+
+
+def _fuse_views(
+    costs: jnp.ndarray, valids: jnp.ndarray, ceiling, cfg: PlaneSweepConfig
+) -> jnp.ndarray:
+    """Fuse per-view costs (S, H, W) -> (H, W). top-k mean over the best
+    views is the standard occlusion-robust choice: an occluded view's high
+    cost drops out of the k best."""
+    if cfg.fusion == "min":
+        return jnp.min(costs, axis=0)
+    if cfg.fusion == "mean":
+        n = jnp.maximum(jnp.sum(valids, axis=0), 1)
+        return jnp.sum(jnp.where(valids, costs, 0.0), axis=0) / n
+    if cfg.fusion == "topk_mean":
+        k = min(cfg.topk, costs.shape[0])
+        # k smallest = -(k largest of negated)
+        top = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]  # (H, W, k)
+        return jnp.mean(top, axis=-1)
+    raise ValueError(f"unknown fusion {cfg.fusion!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("ref_index", "src_indices", "cfg"))
+def plane_sweep_volume(
+    images: jnp.ndarray,
+    cameras: CameraArray,
+    ref_index: int,
+    src_indices: tuple,
+    cfg: PlaneSweepConfig = PlaneSweepConfig(),
+) -> tuple:
+    """Build the fused (H, W, D) plane-sweep cost volume and the per-plane
+    valid-view counts (H, W, D).
+
+    images: (N, H, W); src_indices: static tuple of source view ids.
+    """
+    dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
+    images = images.astype(dtype)
+    ref = images[ref_index]
+    depths = inverse_depth_samples(cfg.z_near, cfg.z_far, cfg.num_planes, dtype=dtype)
+    src = jnp.asarray(src_indices, dtype=jnp.int32)
+    H_all = cameras.fronto_plane_homography(ref_index, src, depths)  # (S, D, 3, 3)
+
+    ref_census = (
+        census_transform(ref, (cfg.patch, cfg.patch)) if cfg.cost == "census" else None
+    )
+    src_images = images[src]  # (S, H, W)
+
+    def per_plane(Hs_d):
+        # Hs_d: (S, 3, 3) homographies of every source view for this plane
+        def per_view(img, Hm):
+            warped, ok = homography_warp(img, Hm)
+            return warped, ok
+
+        warped, ok = jax.vmap(per_view)(src_images, Hs_d)  # (S, H, W)
+        costs, ceiling = _view_cost(ref, ref_census, warped, ok, cfg, dtype)
+        fused = _fuse_views(costs, ok, ceiling, cfg)
+        return fused, jnp.sum(ok, axis=0).astype(jnp.int32)
+
+    # lax.map over planes bounds peak memory at one (S, H, W) warp stack
+    fused, nviews = jax.lax.map(per_plane, jnp.swapaxes(H_all, 0, 1))  # (D, H, W)
+    vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)
+    nv = jnp.moveaxis(nviews, 0, -1)
+    return vol, nv, depths
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ref_index", "src_indices", "cfg", "sgm_cfg", "min_views")
+)
+def plane_sweep_depth(
+    images: jnp.ndarray,
+    cameras: CameraArray,
+    ref_index: int,
+    src_indices: tuple,
+    cfg: PlaneSweepConfig = PlaneSweepConfig(),
+    sgm_cfg: Optional[SGMConfig] = SGMConfig(lr_max_diff=0.0),
+    min_views: int = 2,
+    mask: Optional[jnp.ndarray] = None,
+) -> PlaneSweepOutput:
+    """Full N-view fused depth for the reference view.
+
+    The winning plane is refined by parabola interpolation in *inverse-depth*
+    space (planes are uniform in 1/z, so the parabola is well-conditioned).
+    Pixels seen by fewer than ``min_views`` sources at their winning plane
+    are invalidated (they have no photoconsistency evidence).
+    """
+    vol, nv, depths = plane_sweep_volume(images, cameras, ref_index, src_indices, cfg)
+    if sgm_cfg is not None:
+        vol = sgm_aggregate(
+            vol,
+            p1=sgm_cfg.p1,
+            p2=sgm_cfg.p2,
+            num_paths=sgm_cfg.num_paths,
+            image=images[ref_index],
+            adaptive_p2=sgm_cfg.adaptive_p2,
+            p2_min=sgm_cfg.p2_min,
+        )
+    k_int, cost = winner_take_all(vol)
+    k = subpixel_refine(vol, k_int)  # fractional plane index
+
+    inv_near = 1.0 / cfg.z_near
+    inv_far = 1.0 / cfg.z_far
+    step = (inv_far - inv_near) / max(cfg.num_planes - 1, 1)
+    inv_depth = inv_near + k * step
+    depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
+
+    views_at_win = jnp.take_along_axis(nv, k_int[..., None], axis=-1)[..., 0]
+    valid = views_at_win >= min_views
+    if mask is not None:
+        valid = valid & mask
+    depth = jnp.where(valid, depth, 0.0)
+    return PlaneSweepOutput(
+        depth=depth, plane=k, cost=cost, valid=valid, num_views=views_at_win
+    )

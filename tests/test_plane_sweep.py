@@ -1,0 +1,123 @@
+"""Golden tests for N-view plane-sweep fusion (BASELINE.json config 3)
+against the analytic synthetic rig (exact GT depth — the ``idealRef.yml``
+pattern done properly, SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereovisionarray_tpu.config import PlaneSweepConfig, SGMConfig
+from stereovisionarray_tpu.datasets.synthetic import (
+    SceneSpec,
+    reference_rig,
+    render_camera_array,
+)
+from stereovisionarray_tpu.models.plane_sweep import (
+    plane_sweep_depth,
+    plane_sweep_volume,
+)
+
+RES = (96, 128)
+REF = 4  # center of the 3x3 rig
+SRC = tuple(i for i in range(9) if i != REF)
+CFG = PlaneSweepConfig(
+    num_planes=64, z_near=0.8, z_far=1.05, cost="census", patch=7,
+    fusion="topk_mean", topk=4,
+)
+SGM = SGMConfig(p1=1.0, p2=8.0, adaptive_p2=True, p2_min=2.0, lr_max_diff=0.0)
+
+
+@pytest.fixture(scope="module")
+def rig_data():
+    rig = reference_rig(rows=3, cols=3, spacing=0.05, origin=(-0.05, -0.05), resolution=RES)
+    imgs, deps = render_camera_array(rig, RES)
+    return rig, jnp.asarray(imgs), deps
+
+
+def _inner_mask(valid):
+    inner = np.zeros_like(valid)
+    inner[8:-8, 8:-8] = True
+    return inner
+
+
+class TestPlaneSweepDepth:
+    def test_depth_accuracy_with_sgm(self, rig_data):
+        rig, imgs, deps = rig_data
+        out = plane_sweep_depth(imgs, rig, REF, SRC, CFG, SGM)
+        d, v = np.asarray(out.depth), np.asarray(out.valid)
+        gt = deps[REF]
+        inner = _inner_mask(v)
+        sel = v & inner
+        assert sel.sum() / inner.sum() > 0.95
+        rel = np.abs(d[sel] - gt[sel]) / gt[sel]
+        assert rel.mean() < 0.01, f"mean rel depth err {rel.mean()}"
+        assert (rel > 0.02).mean() < 0.05, f"bad-2% {(rel > 0.02).mean()}"
+
+    def test_sgm_beats_raw_fusion(self, rig_data):
+        """SGM aggregation over the plane axis must reduce bad pixels vs raw
+        per-plane WTA (the reference has no aggregation at all)."""
+        rig, imgs, deps = rig_data
+        gt = deps[REF]
+        bad = {}
+        for name, sgm in (("sgm", SGM), ("raw", None)):
+            out = plane_sweep_depth(imgs, rig, REF, SRC, CFG, sgm)
+            d, v = np.asarray(out.depth), np.asarray(out.valid)
+            sel = v & _inner_mask(v)
+            bad[name] = (np.abs(d[sel] - gt[sel]) / gt[sel] > 0.02).mean()
+        assert bad["sgm"] < bad["raw"]
+
+    @pytest.mark.parametrize("cost", ["census", "sad", "zncc"])
+    def test_cost_variants_finite_and_accurate(self, rig_data, cost):
+        rig, imgs, deps = rig_data
+        cfg = PlaneSweepConfig(
+            num_planes=32, z_near=0.8, z_far=1.05, cost=cost, patch=5,
+            fusion="topk_mean", topk=4,
+        )
+        out = plane_sweep_depth(imgs, rig, REF, SRC, cfg, SGM)
+        d, v = np.asarray(out.depth), np.asarray(out.valid)
+        assert np.isfinite(d).all()
+        gt = deps[REF]
+        sel = v & _inner_mask(v)
+        rel = np.abs(d[sel] - gt[sel]) / gt[sel]
+        assert rel.mean() < 0.02, f"{cost}: mean rel err {rel.mean()}"
+
+    @pytest.mark.parametrize("fusion", ["mean", "min", "topk_mean"])
+    def test_fusion_variants_run(self, rig_data, fusion):
+        rig, imgs, _ = rig_data
+        cfg = PlaneSweepConfig(
+            num_planes=16, z_near=0.8, z_far=1.05, cost="sad", patch=5,
+            fusion=fusion, topk=4,
+        )
+        out = plane_sweep_depth(imgs, rig, REF, SRC, cfg, None)
+        assert np.isfinite(np.asarray(out.depth)).all()
+
+    def test_min_views_invalidates(self, rig_data):
+        """With an absurd min_views requirement everything is invalid."""
+        rig, imgs, _ = rig_data
+        out = plane_sweep_depth(imgs, rig, REF, SRC, CFG, None, min_views=99)
+        assert not np.asarray(out.valid).any()
+        assert (np.asarray(out.depth) == 0).all()
+
+
+class TestPlaneSweepVolume:
+    def test_volume_min_at_true_plane_flat_scene(self):
+        """Single fronto-parallel plane scene: the fused cost argmin must sit
+        at the plane index matching the true depth for (almost) all pixels."""
+        res = (64, 96)
+        rig = reference_rig(rows=3, cols=3, spacing=0.04, origin=(-0.04, -0.04), resolution=res)
+        scene = SceneSpec(background_z=0.2, patches=(), sphere_radius=0.0)
+        imgs, deps = render_camera_array(rig, res, scene)
+        true_depth = float(deps[REF][32, 48])
+        # wide bracket: adjacent planes must differ by a resolvable warp
+        # shift (the rig's short baselines make narrow brackets degenerate)
+        cfg = PlaneSweepConfig(
+            num_planes=16, z_near=true_depth * 0.6, z_far=true_depth * 1.6,
+            cost="census", patch=5, fusion="mean",
+        )
+        vol, nv, depths = plane_sweep_volume(jnp.asarray(imgs), rig, REF, SRC, cfg)
+        k = np.argmin(np.asarray(vol), axis=-1)
+        depth_at_min = np.asarray(depths)[k]
+        inner = np.zeros(res, dtype=bool)
+        inner[8:-8, 8:-8] = True
+        rel = np.abs(depth_at_min - true_depth) / true_depth
+        assert (rel < 0.08)[inner].mean() > 0.9, f"hit rate {(rel < 0.08)[inner].mean()}"
