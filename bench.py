@@ -1,0 +1,77 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric: end-to-end two-view SGM disparity throughput in megapixels/second
+(full pipeline per frame: census+BT cost volume (H x W x 64), 8-path SGM
+aggregation, WTA + subpixel + uniqueness + LR check) on the available
+accelerator (TPU chip under axon; CPU otherwise).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is an operation-count model of its hot loop
+(``/root/reference/src/CameraStereoVision.cpp:49-95``): per pixel it scans
+~64 Bresenham candidates x 41x41-patch SAD (~2 ops/element) single-threaded
+=> ~2.2e5 ops/pixel; at an optimistic 15 Gop/s scalar CPU that is
+~0.07 MP/s. vs_baseline = measured / 0.07.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REF_EST_MPS = 0.07  # op-count model of the reference hot loop (docstring)
+
+# Persistent compilation cache: the 8-path SGM program takes minutes to
+# compile on the remote TPU but milliseconds to run; cache so repeat bench
+# runs (and driver rounds) skip the compile.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+H, W, D = 540, 768, 64  # reference working resolution class (0.5x renders)
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from stereovisionarray_tpu.config import CostConfig, SGMConfig
+    from stereovisionarray_tpu.models.two_view import two_view_disparity
+
+    cost_cfg = CostConfig(num_disparities=D, census_window=(7, 9))
+    sgm_cfg = SGMConfig(p1=8.0, p2=96.0, num_paths=8, adaptive_p2=True)
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.0, 255.0, size=(H, W + 32)).astype(np.float32)
+    left = jax.device_put(jnp.asarray(base[:, :W]))
+    right = jax.device_put(jnp.asarray(base[:, 32:]))
+
+    def step():
+        out = two_view_disparity(left, right, cost_cfg, sgm_cfg)
+        out.disparity.block_until_ready()
+
+    for _ in range(WARMUP):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        step()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    mps = H * W / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "two_view_sgm_throughput",
+                "value": round(mps, 3),
+                "unit": "MP/s",
+                "vs_baseline": round(mps / REF_EST_MPS, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

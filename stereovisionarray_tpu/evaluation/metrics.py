@@ -69,10 +69,16 @@ def depth_error_map(depth: jnp.ndarray, gt: jnp.ndarray, scale: float = 50.0) ->
 
 
 def absolute_trajectory_error(
-    centers_est: jnp.ndarray, centers_gt: jnp.ndarray, align: bool = True
+    centers_est: jnp.ndarray,
+    centers_gt: jnp.ndarray,
+    align: bool = True,
+    align_scale: bool = False,
 ) -> jnp.ndarray:
     """ATE (RMSE of camera centers) after optional similarity alignment
-    (Umeyama without scale) — pose accuracy metric for calibration/BA."""
+    (Umeyama) — pose accuracy metric for calibration/BA.
+
+    align_scale additionally removes the global-scale gauge (monocular BA
+    cannot observe scale; compare up to Sim(3) in that setting)."""
     if align:
         mu_e = centers_est.mean(axis=0)
         mu_g = centers_gt.mean(axis=0)
@@ -83,7 +89,12 @@ def absolute_trajectory_error(
         d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
         D = jnp.diag(jnp.array([1.0, 1.0, d]))
         R = vt.T @ D @ u.T
-        aligned = (R @ e.T).T + mu_g
+        if align_scale:
+            var_e = jnp.sum(e * e)
+            scale = jnp.sum(s * jnp.diag(D)) / jnp.maximum(var_e, 1e-12)
+        else:
+            scale = 1.0
+        aligned = scale * (R @ e.T).T + mu_g
     else:
         aligned = centers_est
     return jnp.sqrt(jnp.mean(jnp.sum((aligned - centers_gt) ** 2, axis=-1)))

@@ -152,6 +152,23 @@ class CameraArray:
             return jnp.einsum("ji,...j->...i", self.R, d, precision=_HI)
         return jnp.einsum("...ji,...j->...i", self.R[..., None, :, :], d, precision=_HI)
 
+    # one-point-per-camera convenience (observation lists in sfm/): the
+    # batched ops above broadcast cameras against a trailing *point* axis,
+    # so a 1:1 pairing needs a singleton point dim inserted and squeezed.
+    def project_each(self, points: jnp.ndarray, eps: float = 1e-9):
+        """points (N, 3), one per camera in this (N,)-batched array ->
+        (uv (N, 2), depth (N,))."""
+        uv, z = self.project(points[..., None, :], eps=eps)
+        return uv[..., 0, :], z[..., 0]
+
+    def rays_each(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """uv (N, 2), one per camera -> unit world rays (N, 3)."""
+        return self.pixel_rays(uv[..., None, :])[..., 0, :]
+
+    def world_to_cam_each(self, points: jnp.ndarray) -> jnp.ndarray:
+        """points (N, 3), one per camera -> camera-frame points (N, 3)."""
+        return self.world_to_cam(points[..., None, :])[..., 0, :]
+
     def _bcast_intrinsics(self, like: jnp.ndarray):
         """Reshape (N,) intrinsics to broadcast against point dims of `like`
         (shape (N, ...) for batched cameras)."""
