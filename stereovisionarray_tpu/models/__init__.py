@@ -9,3 +9,8 @@ from stereovisionarray_tpu.models.plane_sweep import (  # noqa: F401
     plane_sweep_depth,
     plane_sweep_volume,
 )
+from stereovisionarray_tpu.models.calibration import (  # noqa: F401
+    CalibrationResult,
+    build_tracks,
+    calibrate_array,
+)

@@ -1,0 +1,168 @@
+"""Array calibration: images -> features -> matches -> tracks -> BA.
+
+The end-to-end config-4 pipeline. The reference hard-codes its 5x5 pose grid
+(``/root/reference/src/CameraStereoVision.cpp:33-39``); here the rig geometry
+is *measured* from the images themselves, starting from a coarse initial
+guess.
+
+Track model: reference-anchored. Every view is matched against the reference
+view; a track is one reference feature plus its matches — fixed shape
+(n_views, max_features) observation table, so the whole pipeline (detection
+vmapped over views, matching vmapped over view pairs, triangulation, BA) is
+one jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stereovisionarray_tpu.config import SfMConfig
+from stereovisionarray_tpu.geometry.camera import CameraArray
+from stereovisionarray_tpu.sfm.ba import BAProblem, BAState, bundle_adjust
+from stereovisionarray_tpu.sfm.features import describe_patches, detect_features
+from stereovisionarray_tpu.sfm.matching import match_descriptors
+from stereovisionarray_tpu.sfm.refine import lk_refine
+from stereovisionarray_tpu.sfm.triangulate import (
+    reprojection_errors,
+    triangulate_midpoint,
+)
+
+
+class CalibrationResult(NamedTuple):
+    cameras: CameraArray  # refined cameras
+    points: jnp.ndarray  # (F, 3) triangulated + refined track points
+    point_valid: jnp.ndarray  # (F,) bool
+    cost: jnp.ndarray  # BA cost trajectory
+    num_obs: jnp.ndarray  # scalar: valid observations used
+    mean_reproj: jnp.ndarray  # scalar: mean reprojection error (px) after BA
+
+
+@functools.partial(jax.jit, static_argnames=("ref_index", "cfg"))
+def build_tracks(
+    images: jnp.ndarray,
+    ref_index: int,
+    cfg: SfMConfig = SfMConfig(),
+):
+    """Detect + describe on every view, match all views to the reference.
+
+    Returns (uv (N, F, 2), valid (N, F) bool) where column f across views is
+    the track of reference feature f (the reference view's own observation
+    included)."""
+    n_views = images.shape[0]
+    images = images.astype(jnp.float32)
+
+    def feat(img):
+        uv, resp, ok = detect_features(
+            img,
+            max_features=cfg.max_features,
+            k=cfg.harris_k,
+            nms_radius=cfg.nms_radius,
+        )
+        desc = describe_patches(img, uv, patch=cfg.descriptor_patch)
+        return uv, desc, ok
+
+    uv_all, desc_all, ok_all = jax.vmap(feat)(images)  # (N, F, ...)
+
+    ref_desc = desc_all[ref_index]
+    ref_ok = ok_all[ref_index]
+    ref_uv = uv_all[ref_index]
+
+    def match_view(desc_v, ok_v, uv_v):
+        m = match_descriptors(ref_desc, desc_v, ref_ok, ok_v, ratio=cfg.match_ratio)
+        # observation of track f in this view: uv of matched feature
+        return uv_v[m.idx_b], m.valid
+
+    obs_uv, obs_ok = jax.vmap(match_view)(desc_all, ok_all, uv_all)  # (N, F, 2), (N, F)
+
+    # LK subpixel alignment of every match against the reference patch —
+    # removes per-view detection bias (millimetre-scale pose error otherwise)
+    ref_img = images[ref_index]
+
+    def refine_view(img, uv_v):
+        return lk_refine(ref_img, ref_uv, img, uv_v)
+
+    uv_ref_all, lk_ok = jax.vmap(refine_view)(images, obs_uv)
+    obs_uv = uv_ref_all
+    obs_ok = obs_ok & lk_ok
+
+    # the reference view observes its own features exactly
+    obs_uv = obs_uv.at[ref_index].set(ref_uv)
+    obs_ok = obs_ok.at[ref_index].set(ref_ok)
+    return obs_uv, obs_ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ref_index", "cfg", "min_track_views", "rounds")
+)
+def calibrate_array(
+    images: jnp.ndarray,
+    init_cameras: CameraArray,
+    ref_index: int,
+    cfg: SfMConfig = SfMConfig(),
+    min_track_views: int = 3,
+    rounds: int = 2,
+) -> CalibrationResult:
+    """Full array calibration from images + a coarse pose guess.
+
+    images: (N, H, W) grayscale. init_cameras: initial extrinsics (intrinsics
+    are trusted). Tracks seen by fewer than ``min_track_views`` views are
+    dropped from BA (their observations get valid=False).
+
+    ``rounds`` alternates [triangulate -> BA]: re-triangulating through the
+    refined cameras discards the structure bias inherited from the coarse
+    initial guess, which widens the convergence basin substantially (a 1 cm
+    init error needs 2 rounds to reach the sub-millimetre optimum)."""
+    n_views = images.shape[0]
+    obs_uv, obs_ok = build_tracks(images, ref_index, cfg)
+    F = obs_uv.shape[1]
+
+    # flatten the (N, F) table into the BA observation list
+    cam_idx = jnp.repeat(jnp.arange(n_views, dtype=jnp.int32), F)
+    pt_idx = jnp.tile(jnp.arange(F, dtype=jnp.int32), n_views)
+    uv_flat = obs_uv.reshape(-1, 2)
+    ok_flat0 = obs_ok.reshape(-1)
+
+    track_views = jnp.sum(obs_ok, axis=0)  # (F,)
+    track_ok = track_views >= min_track_views
+    ok_flat0 = ok_flat0 & track_ok[pt_idx]
+
+    # principal-point-centred measurements for BA
+    cx = init_cameras.cx[cam_idx]
+    cy = init_cameras.cy[cam_idx]
+    uv_c = uv_flat - jnp.stack([cx, cy], axis=-1)
+
+    cams = init_cameras
+    state: BAState = None
+    ok_flat = ok_flat0
+    for _ in range(rounds):
+        X0, tri_ok = triangulate_midpoint(cams, cam_idx, uv_flat, ok_flat0, F, pt_idx)
+        ok_flat = ok_flat0 & (track_ok & tri_ok)[pt_idx]
+        problem = BAProblem(cam_idx=cam_idx, pt_idx=pt_idx, uv=uv_c, valid=ok_flat)
+        state = bundle_adjust(
+            cams,
+            X0,
+            problem,
+            iterations=cfg.ba_iterations,
+            damping=cfg.ba_damping,
+            huber=cfg.huber_delta,
+            kernel="tukey",
+        )
+        cams = state.cameras
+
+    r = reprojection_errors(state.cameras, state.points, cam_idx, pt_idx, uv_flat)
+    err = jnp.linalg.norm(r, axis=-1)
+    w = ok_flat.astype(err.dtype)
+    mean_reproj = jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    return CalibrationResult(
+        cameras=state.cameras,
+        points=state.points,
+        point_valid=track_ok,
+        cost=state.cost,
+        num_obs=jnp.sum(ok_flat.astype(jnp.int32)),
+        mean_reproj=mean_reproj,
+    )

@@ -27,6 +27,7 @@ from stereovisionarray_tpu.sfm.ba import (  # noqa: F401
     BAState,
     bundle_adjust,
 )
+from stereovisionarray_tpu.sfm.refine import lk_refine  # noqa: F401
 from stereovisionarray_tpu.sfm.pose_graph import (  # noqa: F401
     PoseGraph,
     pose_graph_optimize,

@@ -105,9 +105,25 @@ def detect_features(
 
     flat = nms.reshape(-1)
     top_vals, top_idx = jax.lax.top_k(flat, max_features)
-    vv = (top_idx // w).astype(jnp.float32)
-    uu = (top_idx % w).astype(jnp.float32)
-    uv = jnp.stack([uu, vv], axis=-1)
+    vv = (top_idx // w).astype(jnp.int32)
+    uu = (top_idx % w).astype(jnp.int32)
+
+    # subpixel refinement: 1D parabola through the raw response along each
+    # axis. Integer corners carry a per-view quantization *bias* (the same
+    # physical corner rounds differently in different views), which
+    # propagates into multi-millimetre pose bias in calibration — subpixel
+    # localization removes it to first order.
+    def parab(center, minus, plus):
+        denom = minus - 2.0 * center + plus
+        delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (minus - plus) / denom, 0.0)
+        return jnp.clip(delta, -0.5, 0.5)
+
+    def r_at(dv, du):
+        return resp[jnp.clip(vv + dv, 0, h - 1), jnp.clip(uu + du, 0, w - 1)]
+
+    du = parab(r_at(0, 0), r_at(0, -1), r_at(0, 1))
+    dv = parab(r_at(0, 0), r_at(-1, 0), r_at(1, 0))
+    uv = jnp.stack([uu.astype(jnp.float32) + du, vv.astype(jnp.float32) + dv], axis=-1)
     max_resp = jnp.maximum(top_vals[0], 1e-12)
     valid = (top_vals > min_response_ratio * max_resp) & jnp.isfinite(top_vals)
     return uv, top_vals, valid

@@ -211,3 +211,40 @@ class TestPoseGraph:
         assert np.asarray(costs)[-1] < 1e-6
         np.testing.assert_allclose(np.asarray(R_f), R_true, atol=1e-4)
         np.testing.assert_allclose(np.asarray(t_f), t_true, atol=1e-4)
+
+
+class TestCalibration:
+    def test_end_to_end_recovers_rig(self, rng):
+        """Full images -> features -> matches -> tracks -> BA pipeline
+        (models/calibration.py) recovers a 1 cm-perturbed rig to < 1.5 mm
+        ATE (BASELINE.json config 4)."""
+        from stereovisionarray_tpu.config import SfMConfig
+        from stereovisionarray_tpu.datasets.synthetic import (
+            reference_rig,
+            render_camera_array,
+        )
+        from stereovisionarray_tpu.models.calibration import calibrate_array
+
+        res = (180, 240)
+        rig = reference_rig(
+            rows=3, cols=3, spacing=0.05, origin=(-0.05, -0.05), resolution=res
+        )
+        imgs, _ = render_camera_array(rig, res)
+        t_bad = np.asarray(rig.t).copy()
+        t_bad[1:] += rng.normal(0, 0.01, t_bad[1:].shape).astype(np.float32)
+        init = make_camera_array(
+            rig.fx, rig.fy, rig.cx, rig.cy, np.asarray(rig.R), t_bad
+        )
+        cfg = SfMConfig(max_features=512, ba_iterations=30, ba_damping=1e-3)
+        out = calibrate_array(jnp.asarray(imgs), init, 4, cfg, rounds=2)
+        ate0 = float(
+            absolute_trajectory_error(init.centers, rig.centers, align_scale=True)
+        )
+        ate1 = float(
+            absolute_trajectory_error(
+                out.cameras.centers, rig.centers, align_scale=True
+            )
+        )
+        assert ate1 < 0.0015, f"calibration ATE {ate1}"
+        assert ate1 < ate0 / 4
+        assert int(out.num_obs) > 500
