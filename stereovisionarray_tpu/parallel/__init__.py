@@ -23,6 +23,7 @@ from stereovisionarray_tpu.parallel.mesh import (  # noqa: F401
     AXIS_TILE,
     make_mesh,
 )
+from stereovisionarray_tpu.parallel.ba import distributed_bundle_adjust  # noqa: F401
 from stereovisionarray_tpu.parallel.halo import exchange_halo  # noqa: F401
 from stereovisionarray_tpu.parallel.two_view import (  # noqa: F401
     sharded_two_view_disparity,

@@ -93,11 +93,19 @@ def _masked_median(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (xs[i] + xs[j])
 
 
-def _kernel_scale(norm: jnp.ndarray, valid: jnp.ndarray, scale: float, kernel: str):
+def _kernel_scale(
+    norm: jnp.ndarray, valid: jnp.ndarray, scale: float, kernel: str,
+    axis_name=None,
+):
     """Kernel scale: fixed for huber/cauchy; MAD-adaptive (floored at
-    ``scale``) for tukey, over valid residuals only."""
+    ``scale``) for tukey, over valid residuals only. Under observation
+    sharding (``axis_name``) the residuals are all-gathered first — the MAD
+    must see the full distribution, and every shard must agree on c."""
     if kernel != "tukey":
         return jnp.asarray(scale, norm.dtype)
+    if axis_name is not None:
+        norm = jax.lax.all_gather(norm, axis_name, tiled=True)
+        valid = jax.lax.all_gather(valid, axis_name, tiled=True)
     med = _masked_median(norm, valid)
     mad = _masked_median(jnp.abs(norm - med), valid)
     c = 4.685 * 1.4826 * mad
@@ -147,28 +155,39 @@ def _blocks(R, fx, fy, x_cam, inv_z, problem: BAProblem):
 # ---------------------------------------------------------------------- #
 # One LM solve at damping lam
 # ---------------------------------------------------------------------- #
-def _lm_step(R, t, X, fx, fy, problem, n_cams, n_pts, lam, c, kernel, cg_iters):
-    """Solve the damped normal equations; returns (dc (Nc,6), dp (P,3))."""
+def _lm_step(
+    R, t, X, fx, fy, problem, n_cams, n_pts, lam, c, kernel, cg_iters,
+    axis_name=None,
+):
+    """Solve the damped normal equations; returns (dc (Nc,6), dp (P,3)).
+
+    With ``axis_name`` set (inside shard_map over an observation-sharded
+    mesh), every segment-sum reduction is completed by a ``psum`` — the
+    distributed Schur reduction of BASELINE.json config 5. Cameras, points,
+    and the CG state stay replicated; only observations are sharded."""
     r, norm, geom_ok, x_cam, inv_z = _forward_residuals(R, t, X, fx, fy, problem)
     Jc, Jp = _blocks(R, fx, fy, x_cam, inv_z, problem)
     w = _robust_weight(norm, c, kernel) * geom_ok.astype(r.dtype)
     ci, pi = problem.cam_idx, problem.pt_idx
 
+    def allreduce(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
     wJc = Jc * w[:, None, None]
     wJp = Jp * w[:, None, None]
-    U = jax.ops.segment_sum(
+    U = allreduce(jax.ops.segment_sum(
         jnp.einsum("mri,mrj->mij", Jc, wJc, precision=_HI), ci, num_segments=n_cams
-    )
-    V = jax.ops.segment_sum(
+    ))
+    V = allreduce(jax.ops.segment_sum(
         jnp.einsum("mri,mrj->mij", Jp, wJp, precision=_HI), pi, num_segments=n_pts
-    )
-    W_m = jnp.einsum("mri,mrj->mij", wJc, Jp, precision=_HI)  # (M, 6, 3)
-    b_c = -jax.ops.segment_sum(
+    ))
+    W_m = jnp.einsum("mri,mrj->mij", wJc, Jp, precision=_HI)  # (M_local, 6, 3)
+    b_c = -allreduce(jax.ops.segment_sum(
         jnp.einsum("mri,mr->mi", wJc, r, precision=_HI), ci, num_segments=n_cams
-    )
-    b_p = -jax.ops.segment_sum(
+    ))
+    b_p = -allreduce(jax.ops.segment_sum(
         jnp.einsum("mri,mr->mi", wJp, r, precision=_HI), pi, num_segments=n_pts
-    )
+    ))
 
     # LM damping: multiplicative on the diagonal (scale-invariant) + absolute
     eye6 = jnp.eye(6, dtype=R.dtype)[None]
@@ -184,7 +203,7 @@ def _lm_step(R, t, X, fx, fy, problem, n_cams, n_pts, lam, c, kernel, cg_iters):
 
     b_red = mask_c(
         b_c
-        - jax.ops.segment_sum(
+        - allreduce(jax.ops.segment_sum(
             jnp.einsum(
                 "mij,mj->mi",
                 W_m,
@@ -193,19 +212,19 @@ def _lm_step(R, t, X, fx, fy, problem, n_cams, n_pts, lam, c, kernel, cg_iters):
             ),
             ci,
             num_segments=n_cams,
-        )
+        ))
     )
 
     def schur_matvec(x):
         x = mask_c(x)
         Ux = jnp.einsum("cij,cj->ci", U, x, precision=_HI)
-        y = jax.ops.segment_sum(
+        y = allreduce(jax.ops.segment_sum(
             jnp.einsum("mij,mi->mj", W_m, x[ci], precision=_HI), pi, num_segments=n_pts
-        )
+        ))
         z2 = jnp.einsum("pij,pj->pi", V_inv, y, precision=_HI)
-        EVWx = jax.ops.segment_sum(
+        EVWx = allreduce(jax.ops.segment_sum(
             jnp.einsum("mij,mj->mi", W_m, z2[pi], precision=_HI), ci, num_segments=n_cams
-        )
+        ))
         return mask_c(Ux - EVWx)
 
     U_inv = jnp.linalg.inv(U)
@@ -230,9 +249,9 @@ def _lm_step(R, t, X, fx, fy, problem, n_cams, n_pts, lam, c, kernel, cg_iters):
 
     dc, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, b_red, z0, z0))
 
-    Wt_dc = jax.ops.segment_sum(
+    Wt_dc = allreduce(jax.ops.segment_sum(
         jnp.einsum("mij,mi->mj", W_m, dc[ci], precision=_HI), pi, num_segments=n_pts
-    )
+    ))
     dp = jnp.einsum("pij,pj->pi", V_inv, b_p - Wt_dc, precision=_HI)
     return dc, dp
 
@@ -252,21 +271,26 @@ def _apply_update(R, t, X, dc, dp, base_len, fix_scale):
     return R_new, t_new, X_new
 
 
-def _mean_rho(R, t, X, fx, fy, problem, c, kernel):
+def _mean_rho(R, t, X, fx, fy, problem, c, kernel, axis_name=None):
     _, norm, geom_ok, _, _ = _forward_residuals(R, t, X, fx, fy, problem)
-    w = geom_ok.astype(norm.dtype)
     # behind-camera candidates carry the worst in-range loss (bounded kernels
     # must not reward pushing points out of view)
     rho = jnp.where(geom_ok, _robust_rho(norm, c, kernel), _robust_rho(1e6, c, kernel))
     wv = problem.valid.astype(norm.dtype)
-    return jnp.sum(rho * wv) / jnp.maximum(jnp.sum(wv), 1.0)
+    num = jnp.sum(rho * wv)
+    den = jnp.sum(wv)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 # ---------------------------------------------------------------------- #
 # Public driver
 # ---------------------------------------------------------------------- #
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "cg_iters", "fix_scale", "kernel")
+    jax.jit,
+    static_argnames=("iterations", "cg_iters", "fix_scale", "kernel", "axis_name"),
 )
 def bundle_adjust(
     cameras: CameraArray,
@@ -278,6 +302,7 @@ def bundle_adjust(
     cg_iters: int = 30,
     fix_scale: bool = True,
     kernel: str = "huber",
+    axis_name: str = None,
 ) -> BAState:
     """Run ``iterations`` LM steps; returns refined cameras/points.
 
@@ -296,14 +321,15 @@ def bundle_adjust(
     def step(carry, _):
         R, t, X, lam = carry
         _, norm, geom_ok, _, _ = _forward_residuals(R, t, X, fx, fy, problem)
-        c = _kernel_scale(norm, geom_ok, huber, kernel)
-        cost_cur = _mean_rho(R, t, X, fx, fy, problem, c, kernel)
+        c = _kernel_scale(norm, geom_ok, huber, kernel, axis_name)
+        cost_cur = _mean_rho(R, t, X, fx, fy, problem, c, kernel, axis_name)
 
         dc, dp = _lm_step(
-            R, t, X, fx, fy, problem, n_cams, n_pts, lam, c, kernel, cg_iters
+            R, t, X, fx, fy, problem, n_cams, n_pts, lam, c, kernel, cg_iters,
+            axis_name,
         )
         R_new, t_new, X_new = _apply_update(R, t, X, dc, dp, base_len, fix_scale)
-        cost_new = _mean_rho(R_new, t_new, X_new, fx, fy, problem, c, kernel)
+        cost_new = _mean_rho(R_new, t_new, X_new, fx, fy, problem, c, kernel, axis_name)
 
         accept = jnp.isfinite(cost_new) & (cost_new < cost_cur)
 
@@ -323,8 +349,8 @@ def bundle_adjust(
         step, (R0, t0, points.astype(R0.dtype), lam0), None, length=iterations
     )
     _, norm_f, ok_f, _, _ = _forward_residuals(R_f, t_f, X_f, fx, fy, problem)
-    c_f = _kernel_scale(norm_f, ok_f, huber, kernel)
-    final_cost = _mean_rho(R_f, t_f, X_f, fx, fy, problem, c_f, kernel)
+    c_f = _kernel_scale(norm_f, ok_f, huber, kernel, axis_name)
+    final_cost = _mean_rho(R_f, t_f, X_f, fx, fy, problem, c_f, kernel, axis_name)
     cams_out = CameraArray(
         fx=cameras.fx, fy=cameras.fy, cx=cameras.cx, cy=cameras.cy, R=R_f, t=t_f
     )

@@ -131,3 +131,88 @@ class TestDispOffset:
         np.testing.assert_allclose(
             np.asarray(jnp.concatenate(chunks, axis=-1)), np.asarray(full), rtol=1e-6
         )
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, rng):
+        """Observation-sharded Schur BA must match the replicated solve to
+        float-reduction tolerance (config 5, SURVEY.md §2.2 P5)."""
+        from stereovisionarray_tpu.geometry.camera import translation_only_array
+        from stereovisionarray_tpu.parallel.ba import distributed_bundle_adjust
+        from stereovisionarray_tpu.sfm.ba import BAProblem, bundle_adjust
+
+        pos = np.array(
+            [[0, 0, -0.75], [0.05, 0, -0.75], [0, 0.05, -0.75], [-0.05, 0, -0.75]],
+            dtype=np.float32,
+        )
+        cams = translation_only_array(0.05, pos, 1e-4, resolution=(270, 360))
+        n_pts = 32
+        X = np.stack(
+            [
+                rng.uniform(-0.05, 0.05, n_pts),
+                rng.uniform(-0.05, 0.05, n_pts),
+                rng.uniform(0.1, 0.3, n_pts),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        ci = np.repeat(np.arange(4), n_pts).astype(np.int32)
+        pi = np.tile(np.arange(n_pts), 4).astype(np.int32)
+        uv, _ = cams[jnp.asarray(ci)].project_each(jnp.asarray(X)[jnp.asarray(pi)])
+        uv_c = np.asarray(uv) - np.stack(
+            [np.asarray(cams.cx)[ci], np.asarray(cams.cy)[ci]], -1
+        )
+        # perturb points so BA has work to do
+        X_bad = X + rng.normal(0, 0.005, X.shape).astype(np.float32)
+        prob = BAProblem(
+            cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi),
+            uv=jnp.asarray(uv_c), valid=jnp.ones(len(ci), dtype=bool),
+        )
+        ref = bundle_adjust(cams, jnp.asarray(X_bad), prob, iterations=8)
+        mesh = make_mesh(2, 2, 2)
+        dist = distributed_bundle_adjust(
+            cams, jnp.asarray(X_bad), prob, mesh, iterations=8
+        )
+        assert float(np.asarray(dist.cost)[-1]) < 1e-6
+        np.testing.assert_allclose(
+            np.asarray(dist.cameras.centers), np.asarray(ref.cameras.centers),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.points), np.asarray(ref.points), atol=1e-4
+        )
+
+    def test_padding_indivisible_obs(self, rng):
+        """An observation count not divisible by the device count is padded
+        with valid=False slots and still solves."""
+        from stereovisionarray_tpu.geometry.camera import translation_only_array
+        from stereovisionarray_tpu.parallel.ba import distributed_bundle_adjust
+        from stereovisionarray_tpu.sfm.ba import BAProblem
+
+        pos = np.array(
+            [[0, 0, -0.75], [0.05, 0, -0.75], [0, 0.05, -0.75]], dtype=np.float32
+        )
+        cams = translation_only_array(0.05, pos, 1e-4, resolution=(270, 360))
+        n_pts = 11  # 33 obs, not divisible by 8
+        X = np.stack(
+            [
+                rng.uniform(-0.05, 0.05, n_pts),
+                rng.uniform(-0.05, 0.05, n_pts),
+                rng.uniform(0.1, 0.3, n_pts),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        ci = np.repeat(np.arange(3), n_pts).astype(np.int32)
+        pi = np.tile(np.arange(n_pts), 3).astype(np.int32)
+        uv, _ = cams[jnp.asarray(ci)].project_each(jnp.asarray(X)[jnp.asarray(pi)])
+        uv_c = np.asarray(uv) - np.stack(
+            [np.asarray(cams.cx)[ci], np.asarray(cams.cy)[ci]], -1
+        )
+        prob = BAProblem(
+            cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi),
+            uv=jnp.asarray(uv_c), valid=jnp.ones(len(ci), dtype=bool),
+        )
+        mesh = make_mesh(1, 2, 4)
+        out = distributed_bundle_adjust(
+            cams, jnp.asarray(X), prob, mesh, iterations=3
+        )
+        assert np.isfinite(np.asarray(out.points)).all()
