@@ -19,6 +19,15 @@ import jax.numpy as jnp
 INVALID_DISPARITY = jnp.float32(-1.0)
 
 
+def _value_at(vol: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """vol (..., D) at index d (...,) -> (...,) via a one-hot reduction.
+
+    ``take_along_axis`` on the minor axis lowers to a slow scalar gather on
+    TPU; a masked sum is one fused VPU pass over the volume instead."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, vol.shape, vol.ndim - 1)
+    return jnp.sum(jnp.where(idx == d[..., None], vol, 0), axis=-1)
+
+
 class DisparityResult(NamedTuple):
     disparity: jnp.ndarray  # (H, W) float32, INVALID_DISPARITY where rejected
     cost: jnp.ndarray  # (H, W) winning aggregated cost
@@ -39,9 +48,12 @@ def subpixel_refine(vol: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     [-0.5, 0.5]; border disparities keep their integer value."""
     D = vol.shape[-1]
     d0 = jnp.clip(disp, 1, D - 2)
-    cm = jnp.take_along_axis(vol, (d0 - 1)[..., None], axis=-1)[..., 0]
-    c0 = jnp.take_along_axis(vol, d0[..., None], axis=-1)[..., 0]
-    cp = jnp.take_along_axis(vol, (d0 + 1)[..., None], axis=-1)[..., 0]
+    # single volume pass gathering all three neighbours via one-hot masks
+    idx = jax.lax.broadcasted_iota(jnp.int32, vol.shape, vol.ndim - 1)
+    rel = idx - d0[..., None]
+    cm = jnp.sum(jnp.where(rel == -1, vol, 0), axis=-1)
+    c0 = jnp.sum(jnp.where(rel == 0, vol, 0), axis=-1)
+    cp = jnp.sum(jnp.where(rel == 1, vol, 0), axis=-1)
     denom = cm - 2.0 * c0 + cp
     delta = jnp.where(jnp.abs(denom) > 1e-9, (cm - cp) / (2.0 * denom), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
@@ -57,7 +69,7 @@ def uniqueness_mask(vol: jnp.ndarray, disp: jnp.ndarray, ratio: float) -> jnp.nd
     near = jnp.abs(d_idx - disp[..., None]) <= 1
     masked = jnp.where(near, jnp.inf, vol)
     second = jnp.min(masked, axis=-1)
-    best = jnp.take_along_axis(vol, disp[..., None], axis=-1)[..., 0]
+    best = _value_at(vol, disp)
     return best < ratio * second
 
 
@@ -70,7 +82,7 @@ def left_right_check(
     h, w = disp_left.shape
     x = jnp.arange(w)[None, :]
     xr = jnp.clip(jnp.round(x - disp_left).astype(jnp.int32), 0, w - 1)
-    d_r = jnp.take_along_axis(disp_right, xr, axis=1)
+    d_r = jnp.take_along_axis(disp_right, xr, axis=1)  # 2D gather: fine on TPU
     ok = jnp.abs(disp_left - d_r) <= max_diff
     return ok & (disp_left >= 0) & (d_r >= 0)
 
