@@ -78,6 +78,19 @@ class PlaneSweepConfig:
 
 
 @dataclass(frozen=True)
+class RefineConfig:
+    """Multi-view photoconsistency refinement (generalizes the reference's
+    ``improveWithDisparity`` ±5-step local search with 21x21 windows,
+    ``/root/reference/src/functions.cpp:11-52``)."""
+
+    radius: int = 5
+    step: float = 1.0
+    window: int = 21
+    subpixel: bool = True
+    iterations: int = 1
+
+
+@dataclass(frozen=True)
 class SfMConfig:
     """Feature matching + bundle adjustment (replaces hard-coded poses)."""
 
@@ -108,6 +121,7 @@ class EngineConfig:
     cost: CostConfig = field(default_factory=CostConfig)
     sgm: SGMConfig = field(default_factory=SGMConfig)
     plane_sweep: PlaneSweepConfig = field(default_factory=PlaneSweepConfig)
+    refine: RefineConfig = field(default_factory=RefineConfig)
     sfm: SfMConfig = field(default_factory=SfMConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 0
@@ -165,6 +179,7 @@ _TYPES = {
     "CostConfig": CostConfig,
     "SGMConfig": SGMConfig,
     "PlaneSweepConfig": PlaneSweepConfig,
+    "RefineConfig": RefineConfig,
     "SfMConfig": SfMConfig,
     "MeshConfig": MeshConfig,
     "EngineConfig": EngineConfig,

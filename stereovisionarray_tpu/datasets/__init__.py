@@ -17,4 +17,6 @@ from stereovisionarray_tpu.datasets.io import (  # noqa: F401
     save_array,
     load_array,
     save_png,
+    save_ply,
+    load_ply,
 )

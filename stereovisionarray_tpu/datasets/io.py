@@ -79,3 +79,68 @@ def load_array(path: str) -> tuple[Dict[str, np.ndarray], Dict]:
         arrays = {k: z[k] for k in z.files if k != "__meta__"}
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode()) if "__meta__" in z.files else {}
     return arrays, meta
+
+
+def save_ply(
+    path: str,
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    valid: Optional[np.ndarray] = None,
+) -> int:
+    """Write a binary little-endian PLY point cloud.
+
+    The export side of the reconstruction API the reference only hints at
+    (its `DepthMapToPoints3D` result is never persisted,
+    ``/root/reference/src/functions.cpp:134-146``). Returns the number of
+    points written.
+
+    Args:
+      points: (..., 3) float positions (flattened).
+      colors: optional (..., 3) uint8 RGB per point.
+      valid: optional (...) boolean filter.
+    """
+    pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    col = None if colors is None else np.asarray(colors, dtype=np.uint8).reshape(-1, 3)
+    if valid is not None:
+        keep = np.asarray(valid).reshape(-1)
+        pts = pts[keep]
+        if col is not None:
+            col = col[keep]
+    n = pts.shape[0]
+    header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if col is not None:
+        header += ["property uchar red", "property uchar green", "property uchar blue"]
+    header += ["end_header"]
+    if col is not None:
+        rec = np.zeros(n, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+        rec["xyz"] = pts
+        rec["rgb"] = col
+    else:
+        rec = np.zeros(n, dtype=[("xyz", "<f4", 3)])
+        rec["xyz"] = pts
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(rec.tobytes())
+    return n
+
+
+def load_ply(path: str) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read a PLY written by :func:`save_ply` -> (points (N,3) f32,
+    colors (N,3) u8 or None)."""
+    with open(path, "rb") as f:
+        n = 0
+        has_color = False
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            elif line.startswith("property uchar red"):
+                has_color = True
+            elif line == "end_header":
+                break
+        dtype = ([("xyz", "<f4", 3), ("rgb", "u1", 3)] if has_color
+                 else [("xyz", "<f4", 3)])
+        rec = np.frombuffer(f.read(), dtype=dtype, count=n)
+    return rec["xyz"].copy(), (rec["rgb"].copy() if has_color else None)

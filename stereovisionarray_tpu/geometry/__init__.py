@@ -19,3 +19,8 @@ from stereovisionarray_tpu.geometry.epipolar import (  # noqa: F401
     epipolar_candidates,
     rectified_shift_candidates,
 )
+from stereovisionarray_tpu.geometry.pointcloud import (  # noqa: F401
+    depth_map_to_points,
+    points_to_depth_map,
+    point_cloud_colors,
+)

@@ -14,3 +14,8 @@ from stereovisionarray_tpu.models.calibration import (  # noqa: F401
     build_tracks,
     calibrate_array,
 )
+from stereovisionarray_tpu.models.array_pipeline import (  # noqa: F401
+    ArrayPipelineOutput,
+    array_baselines,
+    array_depth_pipeline,
+)

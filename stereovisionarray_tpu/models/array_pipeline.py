@@ -1,0 +1,157 @@
+"""End-to-end camera-array depth pipeline — the TPU-native `main()`.
+
+Capability parity with the reference driver
+(``/root/reference/src/CameraStereoVision.cpp:10-123``):
+
+  ingest → face-ROI mask → disparity/depth over the array → multi-view
+  photoconsistency refinement → golden-reference evaluation,
+
+re-architected for the hardware: the per-pixel epipolar Bresenham/SAD loop
+becomes an N-view plane-sweep cost volume + SGM (one compiled XLA program),
+the sequential per-pair `improveWithDisparity` overwrite becomes a fused
+all-views-vote refinement (:func:`stereovisionarray_tpu.ops.refine.multiview_refine`),
+and evaluation is the masked-mean / bad-τ metric suite instead of ×50 error
+windows.
+
+Host code here only selects static indices and orchestrates; every numeric
+stage is jitted.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereovisionarray_tpu.config import EngineConfig
+from stereovisionarray_tpu.geometry.camera import CameraArray
+from stereovisionarray_tpu.geometry.topology import PairTopology, camera_pairs
+from stereovisionarray_tpu.models.plane_sweep import PlaneSweepOutput, plane_sweep_depth
+from stereovisionarray_tpu.models.two_view import depth_to_disparity, disparity_to_depth
+from stereovisionarray_tpu.ops.refine import multiview_refine
+from stereovisionarray_tpu.roi.detect import detect_face_ellipse
+from stereovisionarray_tpu.roi.mask import ellipse_mask
+
+__all__ = ["ArrayPipelineOutput", "array_baselines", "array_depth_pipeline"]
+
+
+class ArrayPipelineOutput(NamedTuple):
+    depth: jnp.ndarray  # (H, W) fused depth before refinement
+    refined_depth: jnp.ndarray  # (H, W) after multi-view refinement
+    disparity: jnp.ndarray  # (H, W) normalized disparity (ref-baseline units)
+    refined_disparity: jnp.ndarray
+    valid: jnp.ndarray  # (H, W)
+    mask: jnp.ndarray  # (H, W) ROI gate actually applied
+    sweep: PlaneSweepOutput  # full plane-sweep diagnostics
+
+
+def array_baselines(
+    cameras: CameraArray, ref_index: int, src_indices: Tuple[int, ...]
+) -> Tuple[np.ndarray, float]:
+    """Per-view pixel-space epipolar directions for disparity warping.
+
+    For the (translation-only) array, a point at depth z appears in source
+    view j displaced from its reference pixel by
+    ``(f_px / z) * (C_ref - C_j).xy`` — so warping source j back to the
+    reference view samples along ``unit(C_ref - C_j)``. We normalize all
+    views to ONE disparity scale (the mean baseline B0): view j's direction
+    vector is scaled by ``B_j / B0`` so a single disparity map aligns every
+    view (the reference instead assumes equal baselines and quantizes the
+    direction to ±1 per axis, ``/root/reference/src/functions.cpp:23-25``).
+
+    Returns (baselines_uv (V, 2) float32, B0 mean metric baseline).
+    """
+    centers = np.asarray(cameras.centers)
+    ref_c = centers[ref_index]
+    rel = ref_c[None, :2] - centers[list(src_indices), :2]  # (V, 2)
+    b_len = np.linalg.norm(rel, axis=-1)
+    b0 = float(b_len.mean())
+    unit = rel / np.maximum(b_len[:, None], 1e-12)
+    scaled = unit * (b_len / max(b0, 1e-12))[:, None]
+    return scaled.astype(np.float32), b0
+
+
+def array_depth_pipeline(
+    images: jnp.ndarray,
+    cameras: CameraArray,
+    cfg: EngineConfig = EngineConfig(),
+    ref_index: Optional[int] = None,
+    use_roi: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+) -> ArrayPipelineOutput:
+    """Run the full array pipeline on (N, H, W) grayscale images.
+
+    Args:
+      images: all array views, reference-rig order (row-major grid).
+      cameras: matching CameraArray.
+      cfg: engine config (plane_sweep / sgm / refine sections used here).
+      ref_index: reference view (default: grid center, the reference's
+        camera 12, ``/root/reference/src/functions.cpp:150``).
+      use_roi: detect a face/foreground ellipse on the reference view and
+        gate compute with it (the reference's dlib mask role,
+        ``/root/reference/src/CameraStereoVision.cpp:53``).
+      mask: explicit ROI override (wins over use_roi).
+    """
+    n, h, w = images.shape
+    if ref_index is None:
+        ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
+        if ref_index >= n:
+            ref_index = n // 2
+
+    topo = PairTopology(cfg.plane_sweep.topology)
+    pairs = camera_pairs(topo, rows=cfg.camera.rows, cols=cfg.camera.cols, center=ref_index)
+    src_indices = tuple(int(b) for a, b in pairs if a == ref_index) or tuple(
+        int(b) for _, b in pairs
+    )
+
+    if mask is None:
+        if use_roi:
+            roi = detect_face_ellipse(images[ref_index])
+            mask = ellipse_mask((h, w), roi.center, roi.axes, roi.angle) & roi.found
+        else:
+            mask = jnp.ones((h, w), dtype=bool)
+
+    sweep = plane_sweep_depth(
+        images,
+        cameras,
+        ref_index,
+        src_indices,
+        cfg.plane_sweep,
+        cfg.sgm,
+        mask=mask,
+    )
+
+    # ---- multi-view photoconsistency refinement in disparity space ---- #
+    baselines, b0 = array_baselines(cameras, ref_index, src_indices)
+    f_px = float(np.asarray(jnp.broadcast_to(cameras.fx, (n,)))[ref_index])
+    disparity = depth_to_disparity(sweep.depth, b0, f_px)
+
+    refined_disparity = disparity
+    rcfg = cfg.refine
+    for _ in range(max(rcfg.iterations, 0)):
+        out = multiview_refine(
+            images[ref_index],
+            images[jnp.asarray(src_indices)],
+            jnp.asarray(baselines),
+            refined_disparity,
+            mask=mask & sweep.valid,
+            radius=rcfg.radius,
+            step=rcfg.step,
+            window=rcfg.window,
+            subpixel=rcfg.subpixel,
+        )
+        refined_disparity = out.disparity
+
+    refined_depth = jnp.where(
+        sweep.valid, disparity_to_depth(refined_disparity, b0, f_px), 0.0
+    )
+    return ArrayPipelineOutput(
+        depth=sweep.depth,
+        refined_depth=refined_depth,
+        disparity=disparity,
+        refined_disparity=refined_disparity,
+        valid=sweep.valid,
+        mask=mask,
+        sweep=sweep,
+    )

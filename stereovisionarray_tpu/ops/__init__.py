@@ -24,3 +24,8 @@ from stereovisionarray_tpu.ops.warp import (  # noqa: F401
     warp_with_disparity,
     splat_depth,
 )
+from stereovisionarray_tpu.ops.refine import (  # noqa: F401
+    RefineOutput,
+    box_filter2d,
+    multiview_refine,
+)

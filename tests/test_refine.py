@@ -1,0 +1,126 @@
+"""Multi-view photoconsistency refinement (ops/refine.py) — the TPU-native
+`improveWithDisparity` (``/root/reference/src/functions.cpp:11-52``)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereovisionarray_tpu.ops import box_filter2d, multiview_refine
+from stereovisionarray_tpu.ops.warp import warp_with_disparity
+
+
+def _textured(rng, h, w):
+    """Smooth-ish random texture with enough gradient for photoconsistency."""
+    base = rng.uniform(0.0, 255.0, size=(h // 4 + 2, w // 4 + 2)).astype(np.float32)
+    up = np.kron(base, np.ones((4, 4), dtype=np.float32))[:h, :w]
+    return up
+
+
+def _make_views(reference, true_disp, baselines):
+    """Each aux view is the reference sampled so that warping it back with
+    `true_disp` along its baseline reproduces the reference: build aux by
+    inverse resampling on a grid (valid away from borders)."""
+    views = []
+    h, w = reference.shape
+    for b in baselines:
+        # aux(y + d*by, x + d*bx) == ref(y, x)  =>  aux(u) = ref(u - d_at_src * b)
+        # For a constant-gradient disparity this inverse is well-approximated
+        # by resampling with the same (smooth) disparity field.
+        v, u = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
+        su = u - true_disp * b[0]
+        sv = v - true_disp * b[1]
+        su = np.clip(su, 0, w - 1)
+        sv = np.clip(sv, 0, h - 1)
+        u0 = np.floor(su).astype(int)
+        v0 = np.floor(sv).astype(int)
+        fu = su - u0
+        fv = sv - v0
+        u1 = np.minimum(u0 + 1, w - 1)
+        v1 = np.minimum(v0 + 1, h - 1)
+        img = (
+            reference[v0, u0] * (1 - fu) * (1 - fv)
+            + reference[v0, u1] * fu * (1 - fv)
+            + reference[v1, u0] * (1 - fu) * fv
+            + reference[v1, u1] * fu * fv
+        )
+        views.append(img)
+    return np.stack(views)
+
+
+def test_refine_recovers_constant_offset():
+    rng = np.random.default_rng(7)
+    h, w = 64, 80
+    ref = _textured(rng, h, w)
+    true_disp = np.full((h, w), 6.0, dtype=np.float32)
+    baselines = np.asarray([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]], dtype=np.float32)
+    aux = _make_views(ref, true_disp, baselines)
+
+    init = jnp.asarray(true_disp + 3.0)  # constant 3 px error
+    out = multiview_refine(
+        jnp.asarray(ref), jnp.asarray(aux), jnp.asarray(baselines), init,
+        radius=5, window=11,
+    )
+    inner = np.s_[12:-12, 12:-12]
+    err = np.abs(np.asarray(out.disparity) - true_disp)[inner]
+    init_err = np.abs(np.asarray(init) - true_disp)[inner]
+    assert err.mean() < 0.5 * init_err.mean()
+    assert err.mean() < 1.0
+
+
+def test_refine_respects_mask_passthrough():
+    rng = np.random.default_rng(1)
+    h, w = 32, 32
+    ref = _textured(rng, h, w)
+    aux = np.stack([ref])
+    baselines = jnp.asarray([[1.0, 0.0]], dtype=jnp.float32)
+    init = jnp.full((h, w), 4.0, dtype=jnp.float32)
+    mask = jnp.zeros((h, w), dtype=bool)
+    out = multiview_refine(jnp.asarray(ref), jnp.asarray(aux), baselines, init, mask=mask, radius=3, window=7)
+    np.testing.assert_array_equal(np.asarray(out.disparity), np.asarray(init))
+
+
+def test_refine_warp_consistency_convention():
+    """warp_with_disparity(aux, true_disp, b) ≈ ref inside the valid region —
+    the convention multiview_refine scores against."""
+    rng = np.random.default_rng(5)
+    h, w = 48, 48
+    ref = _textured(rng, h, w)
+    d = np.full((h, w), 5.0, dtype=np.float32)
+    b = np.asarray([1.0, 0.0], dtype=np.float32)
+    aux = _make_views(ref, d, [b])[0]
+    back, ok = warp_with_disparity(jnp.asarray(aux), jnp.asarray(d), jnp.asarray(b))
+    inner = np.s_[8:-8, 8:-8]
+    err = np.abs(np.asarray(back) - ref)[inner]
+    assert err.mean() < 2.0
+
+
+def test_box_filter_matches_naive():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(17, 13)).astype(np.float32)
+    k = 5
+    got = np.asarray(box_filter2d(jnp.asarray(x), k))
+    r = k // 2
+    pad = np.pad(x, r)  # zero padding: border windows sum in-bounds only
+    want = np.zeros_like(x)
+    for dy in range(k):
+        for dx in range(k):
+            want += pad[dy : dy + x.shape[0], dx : dx + x.shape[1]]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_subpixel_offset_recovery():
+    """A fractional constant error should be recovered to < 0.35 px via the
+    parabola fit (integer-only search could at best leave 0.5)."""
+    rng = np.random.default_rng(11)
+    h, w = 64, 64
+    ref = _textured(rng, h, w)
+    true_disp = np.full((h, w), 5.6, dtype=np.float32)
+    baselines = np.asarray([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    aux = _make_views(ref, true_disp, baselines)
+    init = jnp.asarray(np.full((h, w), 3.0, dtype=np.float32))
+    out = multiview_refine(
+        jnp.asarray(ref), jnp.asarray(aux), jnp.asarray(baselines), init,
+        radius=5, window=9,
+    )
+    inner = np.s_[12:-12, 12:-12]
+    err = np.abs(np.asarray(out.disparity) - true_disp)[inner]
+    assert np.median(err) < 0.35
