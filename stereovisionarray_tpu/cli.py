@@ -1,0 +1,307 @@
+"""Command-line driver — the configurable replacement for the reference's
+hard-coded ``main()`` (``/root/reference/src/CameraStereoVision.cpp:10-123``,
+where every parameter is a literal: folder "Renders2", f=0.05, kernel 20,
+topology MID_LEFT, ...).
+
+Subcommands::
+
+    python -m stereovisionarray_tpu render    --output data/        # synth dataset
+    python -m stereovisionarray_tpu depth     --input data/ --output out/
+    python -m stereovisionarray_tpu two-view  --left L.png --right R.png
+    python -m stereovisionarray_tpu calibrate --input data/
+    python -m stereovisionarray_tpu config                          # dump defaults
+
+Every subcommand accepts ``--config cfg.json`` and repeated
+``--set dotted.key=value`` overrides (``EngineConfig.override``). JAX platform
+selection: ``--platform cpu`` forces the host backend (useful off-TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from stereovisionarray_tpu.config import EngineConfig
+
+
+# --------------------------------------------------------------------- #
+# plumbing
+# --------------------------------------------------------------------- #
+def _parse_value(text: str):
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        return text  # bare string (e.g. topology names)
+
+
+def load_config(args) -> EngineConfig:
+    cfg = EngineConfig()
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = EngineConfig.from_json(f.read())
+    overrides = {}
+    for item in getattr(args, "set", None) or []:
+        if "=" not in item:
+            raise SystemExit(f"--set expects key=value, got {item!r}")
+        k, v = item.split("=", 1)
+        overrides[k] = _parse_value(v)
+    if overrides:
+        cfg = cfg.override(**overrides)
+    return cfg
+
+
+def _setup_platform(platform: Optional[str]) -> None:
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", help="EngineConfig JSON file")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="dotted config override, repeatable")
+    p.add_argument("--platform", choices=("cpu", "tpu", "axon"),
+                   help="force a JAX platform")
+    p.add_argument("--output", default="out", help="artifact directory")
+
+
+def _rig_from_config(cfg: EngineConfig, resolution):
+    from stereovisionarray_tpu.datasets import reference_rig
+
+    cam = cfg.camera
+    return reference_rig(
+        rows=cam.rows, cols=cam.cols, spacing=cam.spacing, origin=cam.origin,
+        z=cam.z, focal_length=cam.focal_length, sensor_width=cam.sensor_width,
+        resolution=resolution,
+    )
+
+
+def _load_array_images(folder: str, half_res: bool):
+    from stereovisionarray_tpu.datasets import list_images_sorted, load_image_gray
+
+    paths = list_images_sorted(folder)
+    if not paths:
+        raise SystemExit(f"no images found in {folder!r}")
+    imgs = np.stack([load_image_gray(p, half_res=half_res) for p in paths])
+    return imgs, paths
+
+
+# --------------------------------------------------------------------- #
+# subcommands
+# --------------------------------------------------------------------- #
+def cmd_config(args) -> int:
+    print(load_config(args).to_json())
+    return 0
+
+
+def cmd_render(args) -> int:
+    """Synthesize the camera-array dataset (the `Renders2` role) + exact GT
+    (the `idealRef.yml` role, ``/root/reference/src/functions.cpp:323``)."""
+    _setup_platform(args.platform)
+    from stereovisionarray_tpu.datasets import (
+        SceneSpec, render_camera_array, save_array, save_png,
+    )
+
+    cfg = load_config(args)
+    res = tuple(args.resolution)
+    cams = _rig_from_config(cfg, res)
+    scene = SceneSpec(texture_seed=cfg.seed)
+    images, depths = render_camera_array(cams, res, scene)
+    os.makedirs(args.output, exist_ok=True)
+    for i, img in enumerate(images):
+        save_png(os.path.join(args.output, f"view_{i:03d}.png"), img, vmin=0.0, vmax=255.0)
+    save_array(os.path.join(args.output, "ground_truth.npz"),
+               {"depths": depths},
+               metadata={"config": cfg.to_dict(), "resolution": list(res)})
+    print(json.dumps({"rendered": int(len(images)), "output": args.output,
+                      "resolution": list(res)}))
+    return 0
+
+
+def cmd_depth(args) -> int:
+    """Full array pipeline: images -> ROI -> plane-sweep depth -> multi-view
+    refinement -> artifacts (+ metrics vs GT when available)."""
+    _setup_platform(args.platform)
+    import jax.numpy as jnp
+
+    from stereovisionarray_tpu.datasets import load_array, save_array, save_png, save_ply
+    from stereovisionarray_tpu.evaluation import bad_pixel_ratio, masked_mean_error
+    from stereovisionarray_tpu.geometry import depth_map_to_points, point_cloud_colors
+    from stereovisionarray_tpu.models import array_depth_pipeline
+    from stereovisionarray_tpu.utils.obslog import MetricsLogger
+
+    cfg = load_config(args)
+    images, _paths = _load_array_images(args.input, args.half_res)
+    n, h, w = images.shape
+    if n != cfg.camera.rows * cfg.camera.cols:
+        raise SystemExit(
+            f"{n} images but config rig is {cfg.camera.rows}x{cfg.camera.cols}; "
+            f"fix with --set camera.rows=R --set camera.cols=C"
+        )
+    cams = _rig_from_config(cfg, (h, w))
+    out = array_depth_pipeline(
+        jnp.asarray(images), cams, cfg, ref_index=args.ref_index,
+        use_roi=args.roi,
+    )
+
+    os.makedirs(args.output, exist_ok=True)
+    log = MetricsLogger(os.path.join(args.output, "metrics.jsonl"))
+    save_png(os.path.join(args.output, "depth.png"), np.asarray(out.refined_depth))
+    save_png(os.path.join(args.output, "disparity.png"), np.asarray(out.refined_disparity))
+    save_array(os.path.join(args.output, "depth.npz"),
+               {"depth": np.asarray(out.refined_depth),
+                "disparity": np.asarray(out.refined_disparity),
+                "valid": np.asarray(out.valid)},
+               metadata={"config": cfg.to_dict()})
+    ref_index = args.ref_index
+    if ref_index is None:
+        ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
+    pts, pvalid = depth_map_to_points(cams[ref_index], out.refined_depth, mask=out.valid)
+    col = point_cloud_colors(jnp.asarray(images[ref_index]), pvalid)
+    n_pts = save_ply(os.path.join(args.output, "cloud.ply"),
+                     np.asarray(pts).reshape(-1, 3), colors=np.asarray(col),
+                     valid=np.asarray(pvalid).reshape(-1))
+
+    result = {"valid_fraction": float(np.asarray(out.valid).mean()),
+              "points": int(n_pts), "output": args.output}
+    gt_path = args.ground_truth or os.path.join(args.input, "ground_truth.npz")
+    if os.path.exists(gt_path):
+        arrays, _meta = load_array(gt_path)
+        gt = arrays["depths"][ref_index]
+        err_mask = np.asarray(out.valid) & (gt > 0)
+        depth_np = np.asarray(out.refined_depth)
+        result["mean_abs_err"] = float(
+            masked_mean_error(jnp.asarray(depth_np), jnp.asarray(gt), jnp.asarray(err_mask))
+        )
+        rel = np.abs(depth_np - gt)[err_mask] / gt[err_mask]
+        result["median_rel_err"] = float(np.median(rel))
+        # bad-τ on the GT-equivalent disparity scale
+        result["bad_2pct_depth"] = float((rel > 0.02).mean())
+        save_png(os.path.join(args.output, "error.png"), np.abs(depth_np - gt) * err_mask)
+    log.log("depth", **result)
+    print(json.dumps(result, sort_keys=True))
+    return 0
+
+
+def cmd_two_view(args) -> int:
+    """Rectified two-view SGM disparity (BASELINE.json configs 1+2)."""
+    _setup_platform(args.platform)
+    import jax.numpy as jnp
+
+    from stereovisionarray_tpu.datasets import load_image_gray, save_array, save_png
+    from stereovisionarray_tpu.models import two_view_disparity
+
+    cfg = load_config(args)
+    left = load_image_gray(args.left, half_res=args.half_res)
+    right = load_image_gray(args.right, half_res=args.half_res)
+    kwargs = {}
+    if args.baseline is not None and args.focal_px is not None:
+        kwargs = {"baseline": args.baseline, "focal_px": args.focal_px}
+    out = two_view_disparity(jnp.asarray(left), jnp.asarray(right),
+                             cfg.cost, cfg.sgm, **kwargs)
+    os.makedirs(args.output, exist_ok=True)
+    save_png(os.path.join(args.output, "disparity.png"), np.asarray(out.disparity))
+    payload = {"disparity": np.asarray(out.disparity), "valid": np.asarray(out.valid)}
+    if out.depth is not None:
+        payload["depth"] = np.asarray(out.depth)
+        save_png(os.path.join(args.output, "depth.png"), np.asarray(out.depth))
+    save_array(os.path.join(args.output, "two_view.npz"), payload,
+               metadata={"config": cfg.to_dict()})
+    print(json.dumps({"valid_fraction": float(np.asarray(out.valid).mean()),
+                      "output": args.output}, sort_keys=True))
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    """Feature-based array calibration + bundle adjustment (replaces the
+    reference's hard-coded poses, ``/root/reference/src/CameraStereoVision.cpp:33-39``)."""
+    _setup_platform(args.platform)
+    import jax.numpy as jnp
+
+    from stereovisionarray_tpu.datasets import save_array
+    from stereovisionarray_tpu.models import calibrate_array
+
+    cfg = load_config(args)
+    images, _paths = _load_array_images(args.input, args.half_res)
+    n, h, w = images.shape
+    cams = _rig_from_config(cfg, (h, w))
+    ref_index = args.ref_index
+    if ref_index is None:
+        ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
+    result = calibrate_array(jnp.asarray(images), cams, ref_index, cfg.sfm)
+    os.makedirs(args.output, exist_ok=True)
+    save_array(os.path.join(args.output, "calibration.npz"),
+               {"R": np.asarray(result.cameras.R), "t": np.asarray(result.cameras.t),
+                "points": np.asarray(result.points),
+                "point_valid": np.asarray(result.point_valid)},
+               metadata={"config": cfg.to_dict()})
+    print(json.dumps({
+        "mean_reproj_px": float(result.mean_reproj),
+        "num_obs": int(result.num_obs),
+        "output": args.output,
+    }, sort_keys=True))
+    return 0
+
+
+# --------------------------------------------------------------------- #
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="stereovisionarray_tpu",
+        description="TPU-native multi-view stereo / SfM engine",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("config", help="print the resolved config as JSON")
+    p.add_argument("--config")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE")
+    p.set_defaults(fn=cmd_config)
+
+    p = sub.add_parser("render", help="render a synthetic camera-array dataset")
+    _add_common(p)
+    p.add_argument("--resolution", type=int, nargs=2, default=(270, 360),
+                   metavar=("H", "W"))
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("depth", help="array images -> fused + refined depth")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="folder of array images (sorted)")
+    p.add_argument("--ref-index", type=int, default=None)
+    p.add_argument("--roi", action="store_true", help="gate with detected face ROI")
+    p.add_argument("--half-res", action="store_true",
+                   help="0.5x ingest decimation (the reference default)")
+    p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
+    p.set_defaults(fn=cmd_depth)
+
+    p = sub.add_parser("two-view", help="rectified pair -> SGM disparity")
+    _add_common(p)
+    p.add_argument("--left", required=True)
+    p.add_argument("--right", required=True)
+    p.add_argument("--baseline", type=float, help="metric baseline (for depth)")
+    p.add_argument("--focal-px", type=float, help="focal length in pixels")
+    p.add_argument("--half-res", action="store_true")
+    p.set_defaults(fn=cmd_two_view)
+
+    p = sub.add_parser("calibrate", help="feature + BA array calibration")
+    _add_common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--ref-index", type=int, default=None)
+    p.add_argument("--half-res", action="store_true")
+    p.set_defaults(fn=cmd_calibrate)
+
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

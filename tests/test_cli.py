@@ -1,0 +1,104 @@
+"""CLI driver (cli.py): render -> depth -> calibrate round trip on a tiny
+synthetic rig, plus config plumbing. The configurable replacement for the
+reference's hard-coded ``main()``
+(``/root/reference/src/CameraStereoVision.cpp:10-123``)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stereovisionarray_tpu.cli import load_config, main
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+SMALL = [
+    "--set", "camera.rows=3", "--set", "camera.cols=3",
+    "--set", "plane_sweep.num_planes=32", "--set", "refine.radius=2",
+    "--set", "refine.window=9", "--set", "sgm.num_paths=4",
+]
+
+
+@pytest.fixture(scope="module")
+def rendered(tmp_path_factory):
+    data = str(tmp_path_factory.mktemp("data"))
+    rc = main(["render", "--output", data, "--resolution", "40", "56", *SMALL])
+    assert rc == 0
+    return data
+
+
+def test_config_subcommand_overrides(capsys):
+    rc = main(["config", "--set", "sgm.p1=11", "--set",
+               "plane_sweep.topology=cross"])
+    cfg = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert cfg["sgm"]["p1"] == 11
+    assert cfg["plane_sweep"]["topology"] == "cross"
+
+
+def test_load_config_rejects_unknown_key():
+    class A:
+        config = None
+        set = ["nonexistent.key=1"]
+
+    with pytest.raises(KeyError):
+        load_config(A())
+
+
+def test_render_writes_views_and_gt(rendered):
+    views = [f for f in os.listdir(rendered) if f.startswith("view_")]
+    assert len(views) == 9
+    assert os.path.exists(os.path.join(rendered, "ground_truth.npz"))
+
+
+def test_depth_pipeline_cli(rendered, tmp_path, capsys):
+    out_dir = str(tmp_path / "out")
+    rc, result = _run(capsys, [
+        "depth", "--input", rendered, "--output", out_dir, *SMALL,
+    ])
+    assert rc == 0
+    assert result["valid_fraction"] > 0.5
+    # GT found automatically -> error metrics present and sane
+    assert result["median_rel_err"] < 0.05
+    for artifact in ("depth.png", "disparity.png", "depth.npz", "cloud.ply",
+                     "error.png", "metrics.jsonl"):
+        assert os.path.exists(os.path.join(out_dir, artifact)), artifact
+
+
+def test_depth_rejects_wrong_rig_shape(rendered, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["depth", "--input", rendered, "--output", str(tmp_path / "x")])
+
+
+def test_two_view_cli(rendered, tmp_path, capsys):
+    # neighbouring horizontal views of the rendered rig make a usable pair
+    left = os.path.join(rendered, "view_004.png")
+    right = os.path.join(rendered, "view_003.png")
+    out_dir = str(tmp_path / "tv")
+    rc, result = _run(capsys, [
+        "two-view", "--left", left, "--right", right, "--output", out_dir,
+        "--set", "cost.num_disparities=32", "--set", "sgm.num_paths=4",
+        "--baseline", "0.05", "--focal-px", "416.0",
+    ])
+    assert rc == 0
+    assert result["valid_fraction"] > 0.3
+    assert os.path.exists(os.path.join(out_dir, "depth.png"))
+
+
+def test_calibrate_cli(rendered, tmp_path, capsys):
+    out_dir = str(tmp_path / "cal")
+    rc, result = _run(capsys, [
+        "calibrate", "--input", rendered, "--output", out_dir, *SMALL,
+        "--set", "sfm.max_features=128", "--set", "sfm.ba_iterations=8",
+    ])
+    assert rc == 0
+    assert result["num_obs"] > 20
+    assert result["mean_reproj_px"] < 2.0
+    npz = np.load(os.path.join(out_dir, "calibration.npz"))
+    assert npz["t"].shape[-1] == 3
