@@ -84,12 +84,12 @@ def _rig_from_config(cfg: EngineConfig, resolution):
 
 
 def _load_array_images(folder: str, half_res: bool):
-    from stereovisionarray_tpu.datasets import list_images_sorted, load_image_gray
+    from stereovisionarray_tpu.datasets import list_images_sorted, load_image_stack
 
     paths = list_images_sorted(folder)
     if not paths:
         raise SystemExit(f"no images found in {folder!r}")
-    imgs = np.stack([load_image_gray(p, half_res=half_res) for p in paths])
+    imgs = load_image_stack(paths, half_res=half_res)
     return imgs, paths
 
 

@@ -14,6 +14,7 @@ from stereovisionarray_tpu.datasets.middlebury import (  # noqa: F401
 from stereovisionarray_tpu.datasets.io import (  # noqa: F401
     list_images_sorted,
     load_image_gray,
+    load_image_stack,
     save_array,
     load_array,
     save_png,

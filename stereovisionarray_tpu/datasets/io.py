@@ -31,7 +31,19 @@ def list_images_sorted(folder: str) -> List[str]:
 def load_image_gray(path: str, half_res: bool = False) -> np.ndarray:
     """Load an image as float32 grayscale (H, W) in [0, 255]; optional 0.5x
     decimation matching the reference ingest
-    (``/root/reference/src/CameraStereoVision.cpp:16-18``)."""
+    (``/root/reference/src/CameraStereoVision.cpp:16-18``).
+
+    Decodes through the native C++ codec (native/image_codec.cpp) when the
+    toolchain is available; falls back to imageio (identical luma weights
+    and decimation, covered by tests/test_native_loader.py)."""
+    from stereovisionarray_tpu.datasets import native_loader
+
+    if native_loader.native_available():
+        try:
+            return native_loader.decode_image(path, gray=True, half_res=half_res)
+        except ValueError:
+            pass  # format the native codec doesn't cover (e.g. jpeg)
+
     import imageio.v3 as iio
 
     img = np.asarray(iio.imread(path), dtype=np.float32)
@@ -40,6 +52,21 @@ def load_image_gray(path: str, half_res: bool = False) -> np.ndarray:
     if half_res:
         img = img[::2, ::2]
     return img
+
+
+def load_image_stack(paths, half_res: bool = False, threads: int = 4) -> np.ndarray:
+    """Decode a list of same-shape images into an (N, H, W) float32 stack,
+    using the native multi-threaded prefetch loader when available (the
+    parallel replacement for the reference's sequential 25-view imread loop,
+    ``/root/reference/src/CameraStereoVision.cpp:14-19``)."""
+    from stereovisionarray_tpu.datasets import native_loader
+
+    if native_loader.native_available():
+        try:
+            return native_loader.load_stack(list(paths), threads=threads, half_res=half_res)
+        except ValueError:
+            pass
+    return np.stack([load_image_gray(p, half_res=half_res) for p in paths])
 
 
 def save_png(path: str, array: np.ndarray, vmin: Optional[float] = None,
