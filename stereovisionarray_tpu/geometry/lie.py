@@ -32,6 +32,29 @@ def _hat(w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# Taylor-switch angle for series that suffer float32 cancellation in their
+# closed forms (e.g. (1 - sin/x terms)): below 0.1 rad the 2-3 term series
+# is accurate to ~1e-9 while the closed form has lost most of its digits.
+_SMALL_ANGLE = 0.1
+
+
+def _sinc(theta, theta2, theta2_safe):
+    """sin(t)/t, exact limit 1 at t=0. No cancellation anywhere."""
+    return jnp.where(
+        theta2 < _EPS, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.sqrt(theta2_safe)
+    )
+
+
+def _one_minus_cos_over_t2(theta):
+    """(1 - cos t)/t^2 via the half-angle identity 0.5*(sin(t/2)/(t/2))^2 —
+    cancellation-free for ALL t (the naive form loses every float32 digit
+    for t in [1e-4, 1e-2], which used to NaN se3_log downstream)."""
+    half = 0.5 * theta
+    half_safe = jnp.maximum(half, _EPS)
+    s = jnp.where(half < _EPS, 1.0 - half * half / 6.0, jnp.sin(half_safe) / half_safe)
+    return 0.5 * s * s
+
+
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle (..., 3) -> rotation matrices (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)
@@ -39,10 +62,8 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     # non-selected branch poisons gradients with 0 * inf = NaN.
     theta2_safe = jnp.maximum(theta2, _EPS * _EPS)
     theta = jnp.sqrt(theta2_safe)
-    small = theta2 < _EPS
-    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    a = _sinc(theta, theta2, theta2_safe)
+    b = _one_minus_cos_over_t2(theta)
     W = _hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
@@ -74,10 +95,14 @@ def se3_exp(xi: jnp.ndarray):
     theta2 = jnp.sum(w * w, axis=-1)
     theta2_safe = jnp.maximum(theta2, _EPS * _EPS)
     theta = jnp.sqrt(theta2_safe)
-    small = theta2 < _EPS
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2_safe)
+    a = _sinc(theta, theta2, theta2_safe)
+    b = _one_minus_cos_over_t2(theta)
+    # (1 - sin t / t)/t^2: closed form cancels below ~0.1 rad in f32
+    c = jnp.where(
+        theta < _SMALL_ANGLE,
+        1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+        (1.0 - a) / theta2_safe,
+    )
     W = _hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
@@ -90,15 +115,20 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """(R, t) -> twist (..., 6) = (w, v)."""
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
-    small = theta2 < _EPS
+    theta2_safe = jnp.maximum(theta2, _EPS * _EPS)
+    theta = jnp.sqrt(theta2_safe)
     W = _hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2.
+    # 1 - a/(2b) ~ theta^2/12: total cancellation in f32 below ~0.1 rad —
+    # the series branch is mandatory there, and b must come from the
+    # half-angle form or it is exactly 0 (0/0 -> NaN) near 1e-3 rad.
+    a = _sinc(theta, theta2, theta2_safe)
+    b = _one_minus_cos_over_t2(theta)
     coef = jnp.where(
-        small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - a / (2.0 * b)) / jnp.maximum(theta2, _EPS)
+        theta < _SMALL_ANGLE,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
+        (1.0 - a / (2.0 * jnp.maximum(b, _EPS))) / theta2_safe,
     )
     V_inv = eye - 0.5 * W + coef[..., None, None] * (W @ W)
     v = jnp.einsum("...ij,...j->...i", V_inv, t, precision=_HI)

@@ -29,3 +29,8 @@ from stereovisionarray_tpu.parallel.two_view import (  # noqa: F401
     sharded_two_view_disparity,
     sharded_wta,
 )
+from stereovisionarray_tpu.parallel.streaming import (  # noqa: F401
+    DevicePipeline,
+    StreamExecutor,
+    throughput_stream,
+)

@@ -59,33 +59,49 @@ def pose_graph_optimize(
     t: jnp.ndarray,
     graph: PoseGraph,
     iterations: int = 10,
-    damping: float = 1e-6,
+    damping: float = 1e-4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine world-to-camera poses (N,3,3), (N,3) against the edge set.
 
-    Returns (R, t, per-iteration mean residual norm). Uses full GN: the
-    (E, 6) residual of the *perturbed* poses (left-multiplied se(3) deltas)
-    is differentiated with jacfwd — exact Jacobians for a tiny state, one
-    dense solve.
+    Returns (R, t, per-iteration mean residual norm). Levenberg-Marquardt:
+    the (E, 6) residual of the *perturbed* poses (left-multiplied se(3)
+    deltas) is differentiated with jacfwd — exact Jacobians for a tiny
+    state, one dense solve per iteration — and each step is ACCEPTED only
+    if it reduces the cost and stays finite (pure GN can diverge to
+    inf/NaN from a noisy init when H is near-singular; rejected steps
+    raise the damping 10x, accepted ones lower it 0.3x — branch-free via
+    `where` so the whole loop stays one `lax.scan`).
     """
     n = R.shape[0]
 
-    def gn_step(carry, _):
-        R_c, t_c = carry
+    def residuals_at(R_c, t_c):
+        res = _edge_residuals(R_c, t_c, graph)
+        return res * graph.weight[:, None]
+
+    def mean_norm(res):
+        return jnp.mean(jnp.linalg.norm(res, axis=-1))
+
+    def lm_step(carry, _):
+        R_c, t_c, lam = carry
 
         def perturbed_residuals(delta):  # delta: (N, 6)
             dR = so3_exp(delta[:, :3])
             R_p = jnp.einsum("nij,njk->nik", dR, R_c, precision=_HI)
             t_p = jnp.einsum("nij,nj->ni", dR, t_c, precision=_HI) + delta[:, 3:]
-            res = _edge_residuals(R_p, t_p, graph)
-            return res * graph.weight[:, None]
+            return residuals_at(R_p, t_p)
 
         zero = jnp.zeros((n, 6), dtype=R.dtype)
         res0 = perturbed_residuals(zero)  # (E, 6)
+        cost0 = mean_norm(res0)
         J = jax.jacfwd(perturbed_residuals)(zero)  # (E, 6, N, 6)
         Jf = J.reshape(-1, n * 6)
         rf = res0.reshape(-1)
-        H = Jf.T @ Jf + damping * jnp.eye(n * 6, dtype=R.dtype)
+        JtJ = Jf.T @ Jf
+        # LM damping scaled to the Hessian diagonal (scale-invariant)
+        diag = jnp.diag(JtJ)
+        H = JtJ + lam * jnp.diag(jnp.maximum(diag, 1e-12)) + 1e-9 * jnp.eye(
+            n * 6, dtype=R.dtype
+        )
         g = Jf.T @ rf
         # gauge: freeze camera 0 by pinning its block to identity
         mask = jnp.arange(n * 6) < 6
@@ -95,10 +111,16 @@ def pose_graph_optimize(
         delta = -jnp.linalg.solve(H, g).reshape(n, 6)
 
         dR = so3_exp(delta[:, :3])
-        R_new = jnp.einsum("nij,njk->nik", dR, R_c, precision=_HI)
-        t_new = jnp.einsum("nij,nj->ni", dR, t_c, precision=_HI) + delta[:, 3:]
-        cost = jnp.mean(jnp.linalg.norm(res0, axis=-1))
-        return (R_new, t_new), cost
+        R_try = jnp.einsum("nij,njk->nik", dR, R_c, precision=_HI)
+        t_try = jnp.einsum("nij,nj->ni", dR, t_c, precision=_HI) + delta[:, 3:]
+        cost_try = mean_norm(residuals_at(R_try, t_try))
 
-    (R_f, t_f), costs = jax.lax.scan(gn_step, (R, t), None, length=iterations)
+        accept = jnp.isfinite(cost_try) & (cost_try < cost0)
+        R_new = jnp.where(accept, R_try, R_c)
+        t_new = jnp.where(accept, t_try, t_c)
+        lam_new = jnp.clip(jnp.where(accept, lam * 0.3, lam * 10.0), 1e-9, 1e6)
+        return (R_new, t_new, lam_new), cost0
+
+    lam0 = jnp.asarray(damping, dtype=R.dtype)
+    (R_f, t_f, _), costs = jax.lax.scan(lm_step, (R, t, lam0), None, length=iterations)
     return R_f, t_f, costs

@@ -217,3 +217,45 @@ class TestConfig:
         assert cfg3.cost.num_disparities == 64
         with pytest.raises(KeyError):
             cfg.override(**{"sgm.nope": 1})
+
+
+class TestLieSmallAngleStability:
+    """Regression: se3_exp/log closed forms catastrophically cancelled in
+    float32 for angles in [1e-4, 1e-2] rad ((1-cos t) rounds to 0), which
+    NaN'd pose-graph LM steps. Round trips must be finite and tight across
+    the whole band."""
+
+    def test_se3_round_trip_across_angle_bands(self):
+        import numpy as np
+        from stereovisionarray_tpu.geometry import se3_exp, se3_log
+
+        r = np.random.default_rng(0)
+        for mag in (1e-6, 1e-5, 1e-4, 3e-4, 1e-3, 3e-3, 1e-2, 0.05, 0.2, 1.0, 2.5):
+            w = r.normal(size=(32, 3)).astype(np.float32)
+            w *= mag / np.linalg.norm(w, axis=-1, keepdims=True)
+            v = r.normal(0, 0.5, size=(32, 3)).astype(np.float32)
+            xi = jnp.asarray(np.concatenate([w, v], -1))
+            R, t = se3_exp(xi)
+            xi2 = se3_log(R, t)
+            assert np.isfinite(np.asarray(xi2)).all(), f"mag {mag}"
+            # rotation part limited by so3_log arccos resolution (~5e-4 f32)
+            np.testing.assert_allclose(
+                np.asarray(xi2[:, :3]), np.asarray(xi[:, :3]), atol=7e-4,
+                err_msg=f"w at mag {mag}")
+            np.testing.assert_allclose(
+                np.asarray(xi2[:, 3:]), np.asarray(xi[:, 3:]), rtol=2e-3,
+                atol=1e-3, err_msg=f"v at mag {mag}")
+
+    def test_se3_log_gradients_finite_in_cancellation_band(self):
+        import numpy as np
+        from stereovisionarray_tpu.geometry import se3_exp, se3_log
+
+        def f(xi):
+            R, t = se3_exp(xi)
+            return jnp.sum(se3_log(R, t) ** 2)
+
+        for mag in (1e-5, 1e-4, 1e-3, 1e-2, 0.1, 1.0):
+            xi = jnp.asarray([[0.6, -0.8, 0.0, 0.1, 0.2, -0.3]], dtype=jnp.float32)
+            xi = xi.at[:, :3].multiply(mag)
+            g = jax.grad(f)(xi)
+            assert np.isfinite(np.asarray(g)).all(), f"mag {mag}"

@@ -212,6 +212,41 @@ class TestPoseGraph:
         np.testing.assert_allclose(np.asarray(R_f), R_true, atol=1e-4)
         np.testing.assert_allclose(np.asarray(t_f), t_true, atol=1e-4)
 
+    def test_never_diverges_across_seeds(self):
+        """Regression: pure GN could diverge to NaN on some noisy inits
+        (ill-conditioned normal system -> huge step); LM step control must
+        keep every seed finite and strictly reduce cost."""
+        for seed in range(12):
+            r = np.random.default_rng(seed)
+            n = 9
+            w_true = r.normal(0, 0.08, (n, 3)).astype(np.float32)
+            R_true = np.asarray(so3_exp(jnp.asarray(w_true))).copy()
+            t_true = r.normal(0, 0.3, (n, 3)).astype(np.float32)
+            R_true[0] = np.eye(3)
+            t_true[0] = 0
+            ei = np.array([i for i in range(n - 1)] + [n - 1], dtype=np.int32)
+            ej = np.array([i + 1 for i in range(n - 1)] + [0], dtype=np.int32)
+            R_rel = np.einsum("eik,ejk->eij", R_true[ej], R_true[ei])
+            t_rel = t_true[ej] - np.einsum("eij,ej->ei", R_rel, t_true[ei])
+            graph = PoseGraph(
+                edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+                R_meas=jnp.asarray(R_rel), t_meas=jnp.asarray(t_rel),
+                weight=jnp.ones(len(ei), dtype=jnp.float32),
+            )
+            dw = r.normal(0, 0.08, (n, 3)).astype(np.float32)
+            dw[0] = 0
+            dR = np.asarray(so3_exp(jnp.asarray(dw))).copy()
+            R0 = dR @ R_true
+            t0 = t_true + r.normal(0, 0.08, (n, 3)).astype(np.float32)
+            t0[0] = 0
+            R_f, t_f, costs = pose_graph_optimize(
+                jnp.asarray(R0), jnp.asarray(t0), graph, iterations=15
+            )
+            c = np.asarray(costs)
+            assert np.isfinite(c).all(), f"seed {seed}: NaN cost {c}"
+            assert np.isfinite(np.asarray(R_f)).all() and np.isfinite(np.asarray(t_f)).all()
+            assert c[-1] < 1e-5, f"seed {seed}: did not converge, {c}"
+
 
 class TestCalibration:
     def test_end_to_end_recovers_rig(self, rng):
