@@ -14,3 +14,8 @@ from stereovisionarray_tpu.utils.profiling import (  # noqa: F401
     trace,
 )
 from stereovisionarray_tpu.utils.obslog import MetricsLogger  # noqa: F401
+from stereovisionarray_tpu.utils.elastic import (  # noqa: F401
+    ElasticRunner,
+    Heartbeat,
+    reshard,
+)
