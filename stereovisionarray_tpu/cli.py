@@ -250,6 +250,44 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Probe pixel values / stats of a saved artifact — the scriptable
+    replacement for the reference's click-to-print mouse callback
+    (``/root/reference/src/functions.cpp:220-239``)."""
+    from stereovisionarray_tpu.datasets import load_array
+
+    path = args.artifact
+    if path.endswith(".npz"):
+        arrays, meta = load_array(path)
+    else:
+        from stereovisionarray_tpu.datasets import load_image_gray
+
+        arrays, meta = {"image": load_image_gray(path)}, {}
+    report = {}
+    for name, arr in arrays.items():
+        a = np.asarray(arr)
+        entry = {"shape": list(a.shape), "dtype": str(a.dtype)}
+        if np.issubdtype(a.dtype, np.number):
+            finite = a[np.isfinite(a.astype(np.float64))] if a.size else a
+            entry.update(
+                min=float(finite.min()) if finite.size else None,
+                max=float(finite.max()) if finite.size else None,
+                mean=float(finite.mean()) if finite.size else None,
+                nonfinite=int((~np.isfinite(a.astype(np.float64))).sum()),
+            )
+        if args.at is not None and a.ndim >= 2:
+            u, v = args.at
+            if 0 <= v < a.shape[0] and 0 <= u < a.shape[1]:
+                entry["at"] = {"u": u, "v": v, "value": a[v, u].tolist()}
+            else:
+                entry["at"] = {"u": u, "v": v, "value": None, "error": "out of bounds"}
+        report[name] = entry
+    if meta:
+        report["__meta__"] = {"keys": sorted(meta.keys())}
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 # --------------------------------------------------------------------- #
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
@@ -294,6 +332,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref-index", type=int, default=None)
     p.add_argument("--half-res", action="store_true")
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("inspect", help="probe values/stats of a saved artifact")
+    p.add_argument("artifact", help=".npz artifact or image file")
+    p.add_argument("--at", type=int, nargs=2, metavar=("U", "V"),
+                   help="print the value at pixel (u, v)")
+    p.set_defaults(fn=cmd_inspect)
 
     return ap
 

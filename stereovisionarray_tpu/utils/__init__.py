@@ -19,3 +19,8 @@ from stereovisionarray_tpu.utils.elastic import (  # noqa: F401
     Heartbeat,
     reshard,
 )
+from stereovisionarray_tpu.utils.debug import (  # noqa: F401
+    assert_deterministic,
+    checked,
+    find_nonfinite,
+)
