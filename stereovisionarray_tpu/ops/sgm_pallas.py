@@ -60,7 +60,7 @@ def _sweep_kernel_diag(vol_ref, p2_ref, out_ref, c0, c1, c2, *, p1):
     """Axis path + both diagonals: 3 carries, used by vertical sweeps."""
     i = pl.program_id(0)
     row = vol_ref[0]  # (N, D)
-    p2 = p2_ref[0][:, None]  # (N, 1)
+    p2 = p2_ref[0]  # (N, 1)
 
     @pl.when(i == 0)
     def _():
@@ -84,7 +84,7 @@ def _sweep_kernel_axis(vol_ref, p2_ref, out_ref, c0, *, p1):
     """Axis-aligned path only: 1 carry, used by horizontal sweeps."""
     i = pl.program_id(0)
     row = vol_ref[0]
-    p2 = p2_ref[0][:, None]
+    p2 = p2_ref[0]
 
     @pl.when(i == 0)
     def _():
@@ -99,14 +99,19 @@ def _sweep_kernel_axis(vol_ref, p2_ref, out_ref, c0, *, p1):
 
 
 def _sweep(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool):
-    """Run one sweep over axis 0 of vol (S, N, D). p2_map: (S, N)."""
+    """Run one sweep over axis 0 of vol (S, N, D). p2_map: (S, N).
+
+    TPU tiling note: every BlockSpec's last two dims must be divisible by
+    (8, 128) or equal to the full array dims — p2 is therefore fed as
+    (S, N, 1) so its block (1, n, 1) ends in (n, 1) (n % 8 == 0 after the
+    caller's padding, trailing 1 == full dim), and D must be a multiple of
+    128 or the whole axis (the cost-volume builder's D=64/128 both satisfy
+    this since the block spans all of D)."""
     s, n, d = vol.shape
     if reverse:
         idx3 = lambda i: (s - 1 - i, 0, 0)
-        idx2 = lambda i: (s - 1 - i, 0)
     else:
         idx3 = lambda i: (i, 0, 0)
-        idx2 = lambda i: (i, 0)
 
     kernel = _sweep_kernel_diag if diagonals else _sweep_kernel_axis
     n_carries = 3 if diagonals else 1
@@ -115,13 +120,13 @@ def _sweep(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool):
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, n, d), idx3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), idx2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), idx3, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, d), idx3, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
         scratch_shapes=[pltpu.VMEM((n, d), vol.dtype)] * n_carries,
         interpret=interpret,
-    )(vol, p2_map)
+    )(vol, p2_map[..., None])
 
 
 @functools.partial(
