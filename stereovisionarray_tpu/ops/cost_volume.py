@@ -29,8 +29,11 @@ def census_cost_volume(
     window: Tuple[int, int] = (7, 9),
     dtype=jnp.float32,
     d_offset: int = 0,
+    out_axes: int = -1,
 ) -> jnp.ndarray:
-    """(H, W, D) census hamming cost volume for a rectified pair.
+    """(H, W, D) census hamming cost volume for a rectified pair
+    (out_axes=1 -> (H, D, W), the Pallas fast-path layout, built directly
+    with no transpose).
 
     cost[y, x, d] = hamming(census_L[y, x], census_R[y, x - d]).
     d_offset shifts the candidate range to [d_offset, d_offset + D) — the
@@ -52,7 +55,7 @@ def census_cost_volume(
         return jnp.where(x < d, jnp.asarray(n_bits, dtype=dtype), c)
 
     d_idx = d_offset + jnp.arange(num_disparities, dtype=jnp.int32)
-    vol = jax.vmap(cost_at, out_axes=-1)(d_idx)  # (H, W, D)
+    vol = jax.vmap(cost_at, out_axes=out_axes)(d_idx)
     return vol
 
 
@@ -75,8 +78,10 @@ def birchfield_tomasi_volume(
     clip: float = 32.0,
     dtype=jnp.float32,
     d_offset: int = 0,
+    out_axes: int = -1,
 ) -> jnp.ndarray:
-    """(H, W, D) Birchfield-Tomasi sampling-insensitive absolute difference.
+    """(H, W, D) Birchfield-Tomasi sampling-insensitive absolute difference
+    (out_axes=1 -> (H, D, W)).
 
     BT(xL, xR) = max(0, I_L(xL) - max window_R, min window_R - I_L(xL))
     symmetrized, where window_R is the half-pixel interpolated neighbourhood
@@ -108,7 +113,7 @@ def birchfield_tomasi_volume(
         return jnp.where(x < d, jnp.asarray(clip, dtype=dtype), c)
 
     d_idx = d_offset + jnp.arange(num_disparities, dtype=jnp.int32)
-    return jax.vmap(cost_at, out_axes=-1)(d_idx)
+    return jax.vmap(cost_at, out_axes=out_axes)(d_idx)
 
 
 def fused_cost_volume(
@@ -120,15 +125,27 @@ def fused_cost_volume(
     bt_clip: float = 32.0,
     dtype=jnp.float32,
     d_offset: int = 0,
+    layout: str = "hwd",
 ) -> jnp.ndarray:
     """Census hamming + weighted BT — the production matching cost
-    (PlaneSweep/SGM configs 1-2 in BASELINE.json)."""
+    (PlaneSweep/SGM configs 1-2 in BASELINE.json).
+
+    layout: "hwd" -> (H, W, D) with D minor (the default, D rides lanes);
+    "hdw" -> (H, D, W) with W minor — the layout of the fast Pallas SGM
+    path (``ops/sgm_pallas.py``): W=image width fills the 128-wide lane
+    axis completely (D is usually 64 < 128, which would waste half the
+    VPU in "hwd"), and the d±1 SGM couplings become sublane shifts."""
+    if layout not in ("hwd", "hdw"):
+        raise ValueError(f"unknown layout {layout!r}")
+    ax = 1 if layout == "hdw" else -1
     vol = census_cost_volume(
-        left, right, num_disparities, census_window, dtype=dtype, d_offset=d_offset
+        left, right, num_disparities, census_window, dtype=dtype,
+        d_offset=d_offset, out_axes=ax,
     )
     if bt_weight > 0.0:
         vol = vol + bt_weight * birchfield_tomasi_volume(
-            left, right, num_disparities, clip=bt_clip, dtype=dtype, d_offset=d_offset
+            left, right, num_disparities, clip=bt_clip, dtype=dtype,
+            d_offset=d_offset, out_axes=ax,
         )
     return vol
 

@@ -129,6 +129,150 @@ def _sweep(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool):
     )(vol, p2_map[..., None])
 
 
+# --------------------------------------------------------------------- #
+# (H, D, W) fast path: W (the image width) on the 128-lane axis, D on
+# sublanes. With the default D=64 the (W, D) layout above leaves half of
+# every vector register empty; here lanes are full, the d±1 couplings are
+# sublane shifts, and the diagonal column shift is a lane shift. Blocks
+# carry `rows` image rows per grid step (fori-free static unroll) to
+# amortize per-step DMA/dispatch overhead.
+# --------------------------------------------------------------------- #
+
+
+def _recurrence_dw(prev, cost, p1, p2):
+    """One SGM step on a (D, N) front; p2: (1, N)."""
+    prev_min = jnp.min(prev, axis=0, keepdims=True)  # (1, N)
+    up = jnp.concatenate([prev[:1] + p1 + 1.0, prev[:-1] + p1], axis=0)
+    dn = jnp.concatenate([prev[1:] + p1, prev[-1:] + p1 + 1.0], axis=0)
+    best = jnp.minimum(jnp.minimum(prev, prev_min + p2), jnp.minimum(up, dn))
+    return cost + (best - prev_min)
+
+
+def _shift_lanes(front: jnp.ndarray, direction: int) -> jnp.ndarray:
+    """Shift a (D, N) carry one position along N (lanes), BIG border."""
+    pad = jnp.full_like(front[:, :1], _BIG)
+    if direction > 0:
+        return jnp.concatenate([pad, front[:, :-1]], axis=1)
+    return jnp.concatenate([front[:, 1:], pad], axis=1)
+
+
+def _sweep_kernel_hdw(vol_ref, p2_ref, out_ref, *carries, p1, rows, reverse,
+                      diagonals):
+    """One sweep block: `rows` recurrence steps on (D, N) fronts.
+
+    carries: 3 VMEM scratch fronts (axis, diag+1, diag-1) when diagonals,
+    else 1. Reverse sweeps traverse the block's rows bottom-up (the grid
+    index map already hands blocks in reverse order)."""
+    i = pl.program_id(0)
+    order = range(rows - 1, -1, -1) if reverse else range(rows)
+    first_r = order[0] if rows else 0
+    for r in order:
+        row = vol_ref[r]  # (D, N)
+        p2 = p2_ref[r]  # (1, N)
+        if r == first_r:
+            @pl.when(i == 0)
+            def _(row=row):
+                for c in carries:
+                    c[:] = row
+                out_ref[r] = float(len(carries)) * row
+
+            @pl.when(i > 0)
+            def _(row=row, p2=p2, r=r):
+                _sweep_step(row, p2, out_ref, carries, p1, diagonals, r)
+        else:
+            _sweep_step(row, p2, out_ref, carries, p1, diagonals, r)
+
+
+def _sweep_step(row, p2, out_ref, carries, p1, diagonals, r):
+    if diagonals:
+        c0, c1, c2 = carries
+        l0 = _recurrence_dw(c0[:], row, p1, p2)
+        l1 = _recurrence_dw(_shift_lanes(c1[:], +1), row, p1, p2)
+        l2 = _recurrence_dw(_shift_lanes(c2[:], -1), row, p1, p2)
+        c0[:] = l0
+        c1[:] = l1
+        c2[:] = l2
+        out_ref[r] = l0 + l1 + l2
+    else:
+        (c0,) = carries
+        l0 = _recurrence_dw(c0[:], row, p1, p2)
+        c0[:] = l0
+        out_ref[r] = l0
+
+
+def _block_rows(s: int, target: int = 8) -> int:
+    for r in range(min(target, s), 0, -1):
+        if s % r == 0:
+            return r
+    return 1
+
+
+def _sweep_hdw(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool):
+    """One sweep along axis 0 of vol (S, D, N); p2_map (S, N)."""
+    s, d, n = vol.shape
+    rows = _block_rows(s)
+    nblocks = s // rows
+    idx = (lambda i: (nblocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    n_carries = 3 if diagonals else 1
+    return pl.pallas_call(
+        functools.partial(
+            _sweep_kernel_hdw, p1=float(p1), rows=rows, reverse=reverse,
+            diagonals=diagonals,
+        ),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, n), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        scratch_shapes=[pltpu.VMEM((d, n), vol.dtype)] * n_carries,
+        interpret=interpret,
+    )(vol, p2_map[:, None, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p1", "num_paths", "adaptive_p2", "interpret")
+)
+def sgm_aggregate_pallas_hdw(
+    vol: jnp.ndarray,
+    p1: float = 8.0,
+    p2: float = 96.0,
+    num_paths: int = 8,
+    image: Optional[jnp.ndarray] = None,
+    adaptive_p2: bool = False,
+    p2_min: float = 24.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """8-path SGM over an (H, D, W) cost volume (see
+    ``cost_volume.fused_cost_volume(layout="hdw")``). Returns (H, D, W).
+
+    Same semantics as ``sgm_aggregate`` modulo float-sum order; ~2x the
+    lane utilization of the (H, W, D) kernels when D < 128."""
+    if num_paths not in (4, 8):
+        raise ValueError("num_paths must be 4 or 8")
+    h, d, w = vol.shape
+    dtype = vol.dtype
+
+    if adaptive_p2 and image is not None:
+        p2_y = _edge_p2(image, 0, p2, p2_min, dtype)  # (H, W)
+        p2_x = _edge_p2(image, 1, p2, p2_min, dtype)
+    else:
+        p2_y = jnp.full((h, w), jnp.asarray(p2, dtype))
+        p2_x = p2_y
+
+    diagonals = num_paths == 8
+    down = _sweep_hdw(vol, p2_y, p1, False, diagonals, interpret)
+    up = _sweep_hdw(vol, p2_y, p1, True, diagonals, interpret)
+
+    vol_t = jnp.transpose(vol, (2, 1, 0))  # (W, D, H)
+    p2_x_t = jnp.transpose(p2_x, (1, 0))  # (W, H)
+    lr = _sweep_hdw(vol_t, p2_x_t, p1, False, False, interpret)
+    rl = _sweep_hdw(vol_t, p2_x_t, p1, True, False, interpret)
+
+    return down + up + jnp.transpose(lr + rl, (2, 1, 0))
+
+
 @functools.partial(
     jax.jit, static_argnames=("p1", "num_paths", "adaptive_p2", "interpret")
 )

@@ -48,3 +48,100 @@ class TestPallasSGM:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-3
             )
+
+
+class TestHdwFastPath:
+    """(H, D, W)-layout sweeps + fused extraction (the TPU fast path)."""
+
+    @pytest.mark.parametrize("num_paths", [4, 8])
+    @pytest.mark.parametrize("adaptive", [False, True])
+    def test_hdw_sweeps_match_xla(self, vol_img, num_paths, adaptive):
+        from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_hdw
+
+        vol, img = vol_img
+        want = sgm_aggregate(vol, 4.0, 32.0, num_paths, img, adaptive, 8.0)
+        got = sgm_aggregate_pallas_hdw(
+            jnp.moveaxis(vol, -1, 1), 4.0, 32.0, num_paths, img, adaptive, 8.0,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(got, 1, -1)), np.asarray(want),
+            rtol=1e-5, atol=1e-3,
+        )
+
+    def test_fused_extraction_matches_xla_interior(self):
+        """extract_disparity_hdw == right_from_left + disparity_from_volume
+        away from the right border (where the Pallas path deliberately uses
+        out-of-image=BIG instead of edge clamping)."""
+        from stereovisionarray_tpu.ops.cost_volume import (
+            fused_cost_volume,
+            right_from_left_volume,
+        )
+        from stereovisionarray_tpu.ops.extract_pallas import extract_disparity_hdw
+        from stereovisionarray_tpu.ops.wta import disparity_from_volume
+
+        r = np.random.default_rng(0)
+        b = r.uniform(0, 255, (44, 96)).astype(np.float32)  # H ragged vs 8-row blocks
+        l = jnp.asarray(b[:, :80])
+        rt = jnp.asarray(b[:, 16:])
+        D = 16
+        vol = fused_cost_volume(l, rt, D)
+        agg = sgm_aggregate(vol, 8.0, 96.0, 4, l, True, 24.0)
+        want = disparity_from_volume(
+            agg, vol_right=right_from_left_volume(agg), subpixel=True,
+            uniqueness=0.95, lr_max_diff=1.25,
+        )
+        got = extract_disparity_hdw(
+            jnp.moveaxis(agg, -1, 1), subpixel=True, uniqueness=0.95,
+            lr_max_diff=1.25, interpret=True,
+        )
+        inner = np.s_[:, : 80 - D]
+        vw = np.asarray(want.valid)[inner]
+        vg = np.asarray(got.valid)[inner]
+        assert (vw == vg).all()
+        both = vw & vg
+        np.testing.assert_allclose(
+            np.asarray(want.disparity)[inner][both],
+            np.asarray(got.disparity)[inner][both],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(want.cost), np.asarray(got.cost), atol=1e-3
+        )
+
+    def test_two_view_backend_equivalence(self):
+        """two_view_disparity(backend=pallas_interpret) reproduces the XLA
+        backend's disparity away from the right border."""
+        from stereovisionarray_tpu.config import CostConfig, SGMConfig
+        from stereovisionarray_tpu.models import two_view_disparity
+
+        r = np.random.default_rng(5)
+        base = r.uniform(0, 255, (40, 88)).astype(np.float32)
+        l = jnp.asarray(base[:, :72])
+        rt = jnp.asarray(base[:, 16:])
+        cc = CostConfig(num_disparities=16, census_window=(5, 5))
+        sc = SGMConfig(num_paths=8, uniqueness=0.95, lr_max_diff=1.25)
+        a = two_view_disparity(l, rt, cc, sc, backend="xla")
+        b = two_view_disparity(l, rt, cc, sc, backend="pallas_interpret")
+        inner = np.s_[:, : 72 - 16]
+        va, vb = np.asarray(a.valid)[inner], np.asarray(b.valid)[inner]
+        assert (va == vb).all()
+        both = va & vb
+        np.testing.assert_allclose(
+            np.asarray(a.disparity)[inner][both],
+            np.asarray(b.disparity)[inner][both],
+            atol=1e-4,
+        )
+
+    def test_hdw_cost_volume_layout(self):
+        from stereovisionarray_tpu.ops.cost_volume import fused_cost_volume
+
+        r = np.random.default_rng(1)
+        b = r.uniform(0, 255, (16, 40)).astype(np.float32)
+        l = jnp.asarray(b[:, :32])
+        rt = jnp.asarray(b[:, 8:])
+        a = fused_cost_volume(l, rt, 8)
+        c = fused_cost_volume(l, rt, 8, layout="hdw")
+        np.testing.assert_array_equal(
+            np.asarray(jnp.moveaxis(c, 1, -1)), np.asarray(a)
+        )
