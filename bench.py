@@ -50,14 +50,19 @@ def main():
     right = jax.device_put(jnp.asarray(base[:, 32:]))
 
     def step():
-        out = two_view_disparity(left, right, cost_cfg, sgm_cfg)
-        out.disparity.block_until_ready()
+        return two_view_disparity(left, right, cost_cfg, sgm_cfg)
 
+    # sustained throughput: keep frames in flight (JAX async dispatch) and
+    # block once at the end — the production streaming mode
+    # (parallel/streaming.StreamExecutor); blocking per frame would measure
+    # host<->device round-trip latency instead of chip throughput.
     for _ in range(WARMUP):
-        step()
+        step().disparity.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        step()
+    outs = [step() for _ in range(ITERS)]
+    outs[-1].disparity.block_until_ready()
+    for o in outs:
+        o.disparity.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
 
     mps = H * W / dt / 1e6
