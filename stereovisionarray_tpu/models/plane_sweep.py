@@ -159,8 +159,15 @@ def plane_sweep_volume(
     return vol, nv, depths
 
 
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("ref_index", "src_indices", "cfg", "sgm_cfg", "min_views")
+    jax.jit,
+    static_argnames=("ref_index", "src_indices", "cfg", "sgm_cfg", "min_views", "backend"),
 )
 def plane_sweep_depth(
     images: jnp.ndarray,
@@ -171,6 +178,7 @@ def plane_sweep_depth(
     sgm_cfg: Optional[SGMConfig] = SGMConfig(lr_max_diff=0.0),
     min_views: int = 2,
     mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
 ) -> PlaneSweepOutput:
     """Full N-view fused depth for the reference view.
 
@@ -178,20 +186,48 @@ def plane_sweep_depth(
     space (planes are uniform in 1/z, so the parabola is well-conditioned).
     Pixels seen by fewer than ``min_views`` sources at their winning plane
     are invalidated (they have no photoconsistency evidence).
+
+    backend: "auto" | "xla" | "pallas" | "pallas_interpret" — the Pallas
+    path runs SGM aggregation + WTA/subpixel through the (H, D, W) fused
+    kernels (ops/sgm_pallas.py, ops/extract_pallas.py); smoothness over
+    the plane index is the same recurrence as disparity smoothness.
     """
     vol, nv, depths = plane_sweep_volume(images, cameras, ref_index, src_indices, cfg)
-    if sgm_cfg is not None:
-        vol = sgm_aggregate(
-            vol,
-            p1=sgm_cfg.p1,
-            p2=sgm_cfg.p2,
-            num_paths=sgm_cfg.num_paths,
-            image=images[ref_index],
-            adaptive_p2=sgm_cfg.adaptive_p2,
-            p2_min=sgm_cfg.p2_min,
-        )
-    k_int, cost = winner_take_all(vol)
-    k = subpixel_refine(vol, k_int)  # fractional plane index
+    resolved = _resolve_backend(backend)
+    if resolved in ("pallas", "pallas_interpret"):
+        from stereovisionarray_tpu.ops.extract_pallas import extract_maps_hdw
+        from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_hdw
+
+        interpret = resolved == "pallas_interpret"
+        vol_hdw = jnp.moveaxis(vol, -1, 1)
+        if sgm_cfg is not None:
+            vol_hdw = sgm_aggregate_pallas_hdw(
+                vol_hdw,
+                p1=sgm_cfg.p1,
+                p2=sgm_cfg.p2,
+                num_paths=sgm_cfg.num_paths,
+                image=images[ref_index],
+                adaptive_p2=sgm_cfg.adaptive_p2,
+                p2_min=sgm_cfg.p2_min,
+                interpret=interpret,
+            )
+        maps = extract_maps_hdw(vol_hdw, subpixel=True, interpret=interpret)
+        k = maps.disparity  # fractional winning plane index
+        cost = maps.cost
+        k_int = jnp.clip(jnp.round(k).astype(jnp.int32), 0, cfg.num_planes - 1)
+    else:
+        if sgm_cfg is not None:
+            vol = sgm_aggregate(
+                vol,
+                p1=sgm_cfg.p1,
+                p2=sgm_cfg.p2,
+                num_paths=sgm_cfg.num_paths,
+                image=images[ref_index],
+                adaptive_p2=sgm_cfg.adaptive_p2,
+                p2_min=sgm_cfg.p2_min,
+            )
+        k_int, cost = winner_take_all(vol)
+        k = subpixel_refine(vol, k_int)  # fractional plane index
 
     inv_near = 1.0 / cfg.z_near
     inv_far = 1.0 / cfg.z_far

@@ -121,3 +121,27 @@ class TestPlaneSweepVolume:
         inner[8:-8, 8:-8] = True
         rel = np.abs(depth_at_min - true_depth) / true_depth
         assert (rel < 0.08)[inner].mean() > 0.9, f"hit rate {(rel < 0.08)[inner].mean()}"
+
+
+def test_backend_pallas_interpret_matches_xla(rng):
+    """plane_sweep_depth(backend=pallas_interpret) reproduces the XLA path."""
+    import numpy as np
+    from stereovisionarray_tpu.config import PlaneSweepConfig, SGMConfig
+    from stereovisionarray_tpu.datasets import SceneSpec, reference_rig, render_camera_array
+    from stereovisionarray_tpu.models.plane_sweep import plane_sweep_depth
+
+    res = (48, 64)
+    cams = reference_rig(rows=3, cols=3, resolution=res)
+    imgs, _ = render_camera_array(cams, res, SceneSpec())
+    cfg = PlaneSweepConfig(num_planes=32)
+    sc = SGMConfig(num_paths=4, lr_max_diff=0.0)
+    src = (0, 1, 2, 3, 5, 6, 7, 8)
+    a = plane_sweep_depth(jnp.asarray(imgs), cams, 4, src, cfg, sc, backend="xla")
+    b = plane_sweep_depth(jnp.asarray(imgs), cams, 4, src, cfg, sc,
+                          backend="pallas_interpret")
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    assert (va == vb).all()
+    both = va & vb
+    np.testing.assert_allclose(
+        np.asarray(b.depth)[both], np.asarray(a.depth)[both], rtol=1e-5
+    )
