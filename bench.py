@@ -44,26 +44,30 @@ def main():
     cost_cfg = CostConfig(num_disparities=D, census_window=(7, 9))
     sgm_cfg = SGMConfig(p1=8.0, p2=96.0, num_paths=8, adaptive_p2=True)
 
+    B = 8  # frames per dispatch: amortizes host<->device dispatch latency
     rng = np.random.default_rng(0)
-    base = rng.uniform(0.0, 255.0, size=(H, W + 32)).astype(np.float32)
-    left = jax.device_put(jnp.asarray(base[:, :W]))
-    right = jax.device_put(jnp.asarray(base[:, 32:]))
+    base = rng.uniform(0.0, 255.0, size=(B, H, W + 32)).astype(np.float32)
+    lefts = jax.device_put(jnp.asarray(base[..., :W]))
+    rights = jax.device_put(jnp.asarray(base[..., 32:]))
 
-    def step():
-        return two_view_disparity(left, right, cost_cfg, sgm_cfg)
+    # sustained throughput: B frames stream through one compiled program per
+    # dispatch (lax.map — the production multi-frame mode, cf.
+    # parallel/streaming.StreamExecutor), and each dispatch is fenced by a
+    # host fetch of a scalar reduce — `block_until_ready` alone does not
+    # reliably fence through remote-device transports.
+    @jax.jit
+    def batch(ls, rs):
+        def one(pair):
+            out = two_view_disparity(pair[0], pair[1], cost_cfg, sgm_cfg)
+            return out.disparity
+        return jnp.sum(jax.lax.map(one, (ls, rs)))
 
-    # sustained throughput: keep frames in flight (JAX async dispatch) and
-    # block once at the end — the production streaming mode
-    # (parallel/streaming.StreamExecutor); blocking per frame would measure
-    # host<->device round-trip latency instead of chip throughput.
     for _ in range(WARMUP):
-        step().disparity.block_until_ready()
+        float(batch(lefts, rights))
     t0 = time.perf_counter()
-    outs = [step() for _ in range(ITERS)]
-    outs[-1].disparity.block_until_ready()
-    for o in outs:
-        o.disparity.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    for i in range(ITERS):
+        float(batch(lefts + (i + 1.0), rights))
+    dt = (time.perf_counter() - t0) / (ITERS * B)
 
     mps = H * W / dt / 1e6
     print(

@@ -373,3 +373,86 @@ void decimate2(std::vector<float>* px, int* w, int* h, int channels) {
 }
 
 }  // namespace svt
+
+namespace svt {
+
+// ---------------------------------------------------------------------
+// Minimal PNG encoder: 8-bit grayscale, filter 0, one IDAT chunk.
+// The write-side counterpart of decode_png — completes the native IO
+// runtime so artifact export (datasets/io.py save_png) needs no Python
+// imaging dependency.
+// ---------------------------------------------------------------------
+namespace {
+
+uint32_t crc32_of(const uint8_t* a, size_t n, uint32_t crc = 0xFFFFFFFFu) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      table[i] = c;
+    }
+    init = true;
+  }
+  for (size_t i = 0; i < n; ++i) crc = table[(crc ^ a[i]) & 0xFF] ^ (crc >> 8);
+  return crc;
+}
+
+void put32(std::vector<uint8_t>* v, uint32_t x) {
+  v->push_back(static_cast<uint8_t>(x >> 24));
+  v->push_back(static_cast<uint8_t>(x >> 16));
+  v->push_back(static_cast<uint8_t>(x >> 8));
+  v->push_back(static_cast<uint8_t>(x));
+}
+
+void chunk(std::vector<uint8_t>* out, const char type[4],
+           const std::vector<uint8_t>& body) {
+  put32(out, static_cast<uint32_t>(body.size()));
+  size_t start = out->size();
+  out->insert(out->end(), type, type + 4);
+  out->insert(out->end(), body.begin(), body.end());
+  uint32_t crc = crc32_of(out->data() + start, out->size() - start) ^ 0xFFFFFFFFu;
+  put32(out, crc);
+}
+
+}  // namespace
+
+bool encode_png_gray(const std::string& path, const unsigned char* data,
+                     int width, int height) {
+  if (width <= 0 || height <= 0) return fail("png encode: bad dims");
+  // raw scanlines with filter byte 0
+  std::vector<uint8_t> raw(static_cast<size_t>(height) * (width + 1));
+  for (int y = 0; y < height; ++y) {
+    raw[static_cast<size_t>(y) * (width + 1)] = 0;
+    std::memcpy(&raw[static_cast<size_t>(y) * (width + 1) + 1],
+                data + static_cast<size_t>(y) * width, width);
+  }
+  uLongf zcap = compressBound(raw.size());
+  std::vector<uint8_t> z(zcap);
+  if (compress2(z.data(), &zcap, raw.data(), raw.size(), 6) != Z_OK)
+    return fail("png encode: deflate failed");
+  z.resize(zcap);
+
+  std::vector<uint8_t> out;
+  static const uint8_t magic[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  out.insert(out.end(), magic, magic + 8);
+  std::vector<uint8_t> ihdr;
+  put32(&ihdr, static_cast<uint32_t>(width));
+  put32(&ihdr, static_cast<uint32_t>(height));
+  ihdr.push_back(8);   // bit depth
+  ihdr.push_back(0);   // color type: gray
+  ihdr.push_back(0);   // compression
+  ihdr.push_back(0);   // filter
+  ihdr.push_back(0);   // interlace
+  chunk(&out, "IHDR", ihdr);
+  chunk(&out, "IDAT", z);
+  chunk(&out, "IEND", {});
+
+  std::ofstream f(path, std::ios::binary);
+  if (!f) return fail("png encode: cannot open " + path);
+  f.write(reinterpret_cast<const char*>(out.data()), out.size());
+  return f.good();
+}
+
+}  // namespace svt

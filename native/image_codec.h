@@ -20,3 +20,10 @@ void to_gray(const Image& in, std::vector<float>* out);
 void decimate2(std::vector<float>* px, int* w, int* h, int channels);
 
 }  // namespace svt
+
+namespace svt {
+// Encode an 8-bit grayscale PNG (filter 0, zlib default level).
+// data: H*W bytes row-major. Returns false + g_last_error on failure.
+bool encode_png_gray(const std::string& path, const unsigned char* data,
+                     int width, int height);
+}  // namespace svt

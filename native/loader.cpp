@@ -171,3 +171,12 @@ void svt_loader_destroy(void* handle) {
 }
 
 }  // extern "C"
+
+extern "C" {
+// 8-bit grayscale PNG writer. Returns 1 on success, 0 on failure
+// (svt_last_error set).
+int svt_encode_png_gray(const char* path, const unsigned char* data,
+                        int width, int height) {
+  return svt::encode_png_gray(path, data, width, height) ? 1 : 0;
+}
+}

@@ -73,7 +73,8 @@ def save_png(path: str, array: np.ndarray, vmin: Optional[float] = None,
              vmax: Optional[float] = None) -> None:
     """Save a float array as an 8-bit PNG (normalized to [vmin, vmax]) — the
     artifact-file replacement for the reference's imshow windows
-    (``/root/reference/src/functions.cpp:234-239``)."""
+    (``/root/reference/src/functions.cpp:234-239``). Grayscale PNGs encode
+    through the native C++ codec when available."""
     import imageio.v3 as iio
 
     a = np.asarray(array, dtype=np.float32)
@@ -82,6 +83,12 @@ def save_png(path: str, array: np.ndarray, vmin: Optional[float] = None,
     scale = 255.0 / max(hi - lo, 1e-12)
     u8 = np.clip((a - lo) * scale, 0, 255).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if u8.ndim == 2 and path.lower().endswith(".png"):
+        from stereovisionarray_tpu.datasets import native_loader
+
+        if native_loader.native_available():
+            native_loader.encode_png_gray(path, u8)
+            return
     iio.imwrite(path, u8)
 
 

@@ -81,6 +81,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_void_p),
     ]
     lib.svt_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.svt_encode_png_gray.restype = ctypes.c_int
+    lib.svt_encode_png_gray.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+    ]
     return lib
 
 
@@ -195,6 +199,23 @@ class PrefetchLoader:
             self.close()
         except Exception:
             pass
+
+
+def encode_png_gray(path: str, array: np.ndarray) -> None:
+    """Write an (H, W) uint8 array as a grayscale PNG via the native encoder
+    (the write-side of the C++ codec; raises if the toolchain is absent)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    a = np.ascontiguousarray(array, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_png_gray expects (H, W) uint8")
+    ok = lib.svt_encode_png_gray(
+        path.encode(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        a.shape[1], a.shape[0],
+    )
+    if not ok:
+        raise ValueError(f"png encode failed: {lib.svt_last_error().decode()}")
 
 
 def load_stack(paths: List[str], threads: int = 4, gray: bool = True,

@@ -147,3 +147,28 @@ def test_prefetch_loader_error_propagates(tmp_path):
         next(it)
         with pytest.raises(ValueError):
             next(it)
+
+
+def test_native_png_encoder_round_trip(tmp_path):
+    from stereovisionarray_tpu.datasets.native_loader import encode_png_gray
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, size=(23, 31), dtype=np.uint8)
+    p = str(tmp_path / "enc.png")
+    encode_png_gray(p, img)
+    # our own decoder and imageio both read it back exactly
+    np.testing.assert_allclose(decode_image(p), img.astype(np.float32))
+    import imageio.v3 as iio
+
+    np.testing.assert_array_equal(np.asarray(iio.imread(p)), img)
+
+
+def test_save_png_uses_native_encoder(tmp_path):
+    from stereovisionarray_tpu.datasets import save_png
+
+    arr = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+    p = str(tmp_path / "art.png")
+    save_png(p, arr, vmin=0.0, vmax=1.0)
+    got = decode_image(p)
+    want = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    np.testing.assert_allclose(got, want.astype(np.float32))
