@@ -250,6 +250,51 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Compare a result artifact against ground truth — the standalone
+    version of the reference's golden check (`getIdealRef` + masked mean,
+    ``/root/reference/src/functions.cpp:323-329,348-354``) with the full
+    metric suite (bad-τ, EPE, masked mean)."""
+    import jax.numpy as jnp
+
+    from stereovisionarray_tpu.datasets import load_array
+    from stereovisionarray_tpu.evaluation import (
+        bad_pixel_ratio,
+        end_point_error,
+        masked_mean_error,
+    )
+
+    res, _ = load_array(args.result)
+    gt_arrays, _ = load_array(args.ground_truth)
+
+    if args.key not in res:
+        raise SystemExit(f"{args.key!r} not in {args.result} (has {sorted(res)})")
+    pred = jnp.asarray(res[args.key])
+    gt_key = args.gt_key
+    if gt_key is None:
+        gt_key = args.key if args.key in gt_arrays else sorted(gt_arrays)[0]
+    gt = gt_arrays[gt_key]
+    if gt.ndim == pred.ndim + 1:  # per-view GT stack -> select one
+        gt = gt[args.gt_index]
+    gt = jnp.asarray(gt)
+    if gt.shape != pred.shape:
+        raise SystemExit(f"shape mismatch: result {pred.shape} vs gt {gt.shape}")
+
+    valid = jnp.asarray(res["valid"]) if "valid" in res else jnp.ones(pred.shape, bool)
+    valid = valid & (gt > 0) if args.positive_gt_only else valid
+    report = {
+        "key": args.key,
+        "gt_key": gt_key,
+        "valid_fraction": float(valid.mean()),
+        "masked_mean_err": float(masked_mean_error(pred, gt, mask=valid)),
+        "epe": float(end_point_error(pred, gt, mask=valid)),
+    }
+    for tau in args.tau:
+        report[f"bad_{tau}"] = float(bad_pixel_ratio(pred, gt, tau, mask=valid))
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Probe pixel values / stats of a saved artifact — the scriptable
     replacement for the reference's click-to-print mouse callback
@@ -332,6 +377,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref-index", type=int, default=None)
     p.add_argument("--half-res", action="store_true")
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("evaluate", help="compare a result artifact vs ground truth")
+    p.add_argument("--result", required=True, help="npz with the prediction")
+    p.add_argument("--ground-truth", required=True, help="npz with GT arrays")
+    p.add_argument("--key", default="depth", help="prediction array name")
+    p.add_argument("--gt-key", default=None, help="GT array name (default: same)")
+    p.add_argument("--gt-index", type=int, default=0,
+                   help="view index when GT is a per-view stack")
+    p.add_argument("--tau", type=float, nargs="*", default=(0.5, 1.0, 2.0),
+                   help="bad-τ thresholds")
+    p.add_argument("--positive-gt-only", action="store_true", default=True)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("inspect", help="probe values/stats of a saved artifact")
     p.add_argument("artifact", help=".npz artifact or image file")

@@ -102,3 +102,19 @@ def test_calibrate_cli(rendered, tmp_path, capsys):
     assert result["mean_reproj_px"] < 2.0
     npz = np.load(os.path.join(out_dir, "calibration.npz"))
     assert npz["t"].shape[-1] == 3
+
+
+def test_evaluate_cli(rendered, tmp_path, capsys):
+    out_dir = str(tmp_path / "ev")
+    main(["depth", "--input", rendered, "--output", out_dir, *SMALL])
+    capsys.readouterr()
+    rc, report = _run(capsys, [
+        "evaluate", "--result", os.path.join(out_dir, "depth.npz"),
+        "--ground-truth", os.path.join(rendered, "ground_truth.npz"),
+        "--key", "depth", "--gt-key", "depths", "--gt-index", "4",
+        "--tau", "0.01", "0.02",
+    ])
+    assert rc == 0
+    assert report["gt_key"] == "depths"
+    assert abs(report["masked_mean_err"]) < 0.01
+    assert report["bad_0.02"] < 0.6  # tau in metres here (depth domain)
