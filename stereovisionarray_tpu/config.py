@@ -61,6 +61,10 @@ class SGMConfig:
     lr_max_diff: float = 1.25  # left-right consistency threshold (px)
     subpixel: bool = True  # parabola refinement
     uniqueness: float = 0.95  # best/second-best ratio test (<=0 disables)
+    median_filter: bool = False  # 3x3 median post-filter (ops/postfilter.py)
+    speckle_window: int = 0  # speckle-suppression window (0 disables)
+    speckle_max_diff: float = 1.0
+    speckle_min_support: int = 12
 
 
 @dataclass(frozen=True)

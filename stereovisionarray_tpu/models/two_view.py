@@ -158,11 +158,26 @@ def two_view_disparity(
         )
         cost_map = res.cost
 
+    disparity, valid = res.disparity, res.valid
+    if sgm_cfg.median_filter or sgm_cfg.speckle_window > 0:
+        from stereovisionarray_tpu.ops.postfilter import median3x3, speckle_filter
+
+        if sgm_cfg.median_filter:
+            disparity = median3x3(disparity, valid)
+        if sgm_cfg.speckle_window > 0:
+            disparity, valid = speckle_filter(
+                disparity,
+                valid,
+                max_diff=sgm_cfg.speckle_max_diff,
+                window=sgm_cfg.speckle_window,
+                min_support=sgm_cfg.speckle_min_support,
+            )
+
     depth = None
     if baseline is not None and focal_px is not None:
         depth = jnp.where(
-            res.valid,
-            disparity_to_depth(res.disparity, baseline, focal_px),
+            valid,
+            disparity_to_depth(disparity, baseline, focal_px),
             0.0,
         )
-    return TwoViewOutput(disparity=res.disparity, valid=res.valid, cost=cost_map, depth=depth)
+    return TwoViewOutput(disparity=disparity, valid=valid, cost=cost_map, depth=depth)

@@ -29,3 +29,7 @@ from stereovisionarray_tpu.ops.refine import (  # noqa: F401
     box_filter2d,
     multiview_refine,
 )
+from stereovisionarray_tpu.ops.postfilter import (  # noqa: F401
+    median3x3,
+    speckle_filter,
+)

@@ -1,0 +1,63 @@
+"""Disparity post-filters (ops/postfilter.py): 3x3 median + speckle
+suppression — production-SGM steps absent from the reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereovisionarray_tpu.ops.postfilter import median3x3, speckle_filter
+from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
+
+
+class TestMedian:
+    def test_matches_numpy_median_interior(self):
+        rng = np.random.default_rng(0)
+        d = rng.uniform(0, 64, (20, 24)).astype(np.float32)
+        got = np.asarray(median3x3(jnp.asarray(d)))
+        for y in range(1, 19):
+            for x in range(1, 23):
+                want = np.median(d[y - 1 : y + 2, x - 1 : x + 2])
+                assert abs(got[y, x] - want) < 1e-5, (y, x)
+
+    def test_kills_salt_noise(self):
+        d = np.full((16, 16), 10.0, dtype=np.float32)
+        d[8, 8] = 60.0  # single outlier
+        got = np.asarray(median3x3(jnp.asarray(d)))
+        assert got[8, 8] == 10.0
+
+    def test_invalid_neighbours_use_center(self):
+        d = np.full((8, 8), 5.0, dtype=np.float32)
+        v = np.ones((8, 8), dtype=bool)
+        d[3, 3] = -1.0
+        v[3, 3] = False
+        got = np.asarray(median3x3(jnp.asarray(d), jnp.asarray(v)))
+        # invalid center passes through; valid neighbours unpolluted
+        assert got[3, 3] == -1.0
+        assert (got[v] == 5.0).all()
+
+
+class TestSpeckle:
+    def test_small_blob_removed_large_region_kept(self):
+        d = np.full((32, 32), 20.0, dtype=np.float32)
+        d[10:12, 10:12] = 45.0  # 4-pixel floating blob
+        out, keep = speckle_filter(jnp.asarray(d), max_diff=1.0, window=9,
+                                   min_support=12)
+        out = np.asarray(out)
+        assert (out[10:12, 10:12] == float(INVALID_DISPARITY)).all()
+        kept = np.asarray(keep)
+        assert kept.sum() == 32 * 32 - 4
+
+    def test_discontinuity_preserves_both_sides(self):
+        d = np.full((24, 24), 10.0, dtype=np.float32)
+        d[:, 12:] = 40.0  # step edge: two large regions
+        out, keep = speckle_filter(jnp.asarray(d), max_diff=1.0, window=9,
+                                   min_support=12)
+        assert np.asarray(keep).all()  # nothing suppressed on either side
+
+    def test_respects_input_validity(self):
+        d = np.full((16, 16), 7.0, dtype=np.float32)
+        v = np.ones((16, 16), dtype=bool)
+        v[:2] = False
+        out, keep = speckle_filter(jnp.asarray(d), jnp.asarray(v),
+                                   max_diff=1.0, window=5, min_support=6)
+        assert not np.asarray(keep)[:2].any()
+        assert np.asarray(keep)[4:].all()
