@@ -89,15 +89,24 @@ def two_view_disparity(
     throughput on a TPU chip at 540x768x64, numerically identical modulo
     float summation order (same bad-2.0 on golden scenes)."""
     dtype = jnp.dtype(cost_cfg.dtype)
-    left = left.astype(dtype)
-    right = right.astype(dtype)
+    integer_costs = jnp.issubdtype(dtype, jnp.integer)
+    compute_dtype = jnp.float32 if integer_costs else dtype
+    left = left.astype(compute_dtype)
+    right = right.astype(compute_dtype)
     resolved = _resolve_backend(backend)
+    if integer_costs and resolved == "xla":
+        # the XLA scan path stays float; integer costs are a Pallas-path
+        # optimization (exact fixed-point math, half the HBM traffic)
+        dtype = jnp.dtype(jnp.float32)
+        integer_costs = False
 
     if resolved in ("pallas", "pallas_interpret"):
+        from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
         from stereovisionarray_tpu.ops.extract_pallas import extract_disparity_hdw
         from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_hdw
 
         interpret = resolved == "pallas_interpret"
+        scale = COST_SCALE if integer_costs else 1
         vol = fused_cost_volume(
             left,
             right,
@@ -108,14 +117,15 @@ def two_view_disparity(
             dtype=dtype,
             layout="hdw",
         )
+        pen = (lambda v: round(v * scale)) if integer_costs else (lambda v: v)
         agg = sgm_aggregate_pallas_hdw(
             vol,
-            p1=sgm_cfg.p1,
-            p2=sgm_cfg.p2,
+            p1=pen(sgm_cfg.p1),
+            p2=pen(sgm_cfg.p2),
             num_paths=sgm_cfg.num_paths,
             image=left,
             adaptive_p2=sgm_cfg.adaptive_p2,
-            p2_min=sgm_cfg.p2_min,
+            p2_min=pen(sgm_cfg.p2_min),
             interpret=interpret,
         )
         res = extract_disparity_hdw(

@@ -21,6 +21,9 @@ import jax.numpy as jnp
 
 from stereovisionarray_tpu.ops.census import census_transform, hamming_distance
 
+# integer cost mode: fixed-point scale so 0.25-weighted BT terms stay exact
+COST_SCALE = 4
+
 
 def census_cost_volume(
     left: jnp.ndarray,
@@ -138,15 +141,24 @@ def fused_cost_volume(
     if layout not in ("hwd", "hdw"):
         raise ValueError(f"unknown layout {layout!r}")
     ax = 1 if layout == "hdw" else -1
+    out_dtype = jnp.dtype(dtype)
+    integer_costs = jnp.issubdtype(out_dtype, jnp.integer)
+    # integer mode: build in f32, scale by COST_SCALE, round into the
+    # integer dtype (XLA fuses the conversion into the producer — a single
+    # int16 volume write, HALF the HBM traffic of f32; the SGM penalties
+    # must be scaled by the same factor, see models/two_view.py)
+    build_dtype = jnp.float32 if integer_costs else out_dtype
     vol = census_cost_volume(
-        left, right, num_disparities, census_window, dtype=dtype,
+        left, right, num_disparities, census_window, dtype=build_dtype,
         d_offset=d_offset, out_axes=ax,
     )
     if bt_weight > 0.0:
         vol = vol + bt_weight * birchfield_tomasi_volume(
-            left, right, num_disparities, clip=bt_clip, dtype=dtype,
+            left, right, num_disparities, clip=bt_clip, dtype=build_dtype,
             d_offset=d_offset, out_axes=ax,
         )
+    if integer_costs:
+        vol = jnp.round(vol * COST_SCALE).astype(out_dtype)
     return vol
 
 

@@ -43,35 +43,52 @@ from jax.experimental.pallas import tpu as pltpu
 from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY, DisparityResult
 
 _BIG = 1e9
+_BIG_INT = 16000
+
+
+def _big_for(dtype):
+    return _BIG_INT if jnp.issubdtype(dtype, jnp.integer) else _BIG
 
 
 def _wta_row(a, d_iota, D):
     """(D, W) row -> (1, W) each of: min cost, int winner, clamped winner,
     c_minus/c0/c_plus parabola samples, second-best outside winner±1."""
+    zero = jnp.zeros((), a.dtype)
     cmin = jnp.min(a, axis=0, keepdims=True)  # (1, W)
     d_int = jnp.min(jnp.where(a == cmin, d_iota, D), axis=0, keepdims=True)
     d_c = jnp.clip(d_int, 1, D - 2)
-    cm = jnp.sum(jnp.where(d_iota == d_c - 1, a, 0.0), axis=0, keepdims=True)
-    c0 = jnp.sum(jnp.where(d_iota == d_c, a, 0.0), axis=0, keepdims=True)
-    cp = jnp.sum(jnp.where(d_iota == d_c + 1, a, 0.0), axis=0, keepdims=True)
+    cm = jnp.sum(jnp.where(d_iota == d_c - 1, a, zero), axis=0, keepdims=True)
+    c0 = jnp.sum(jnp.where(d_iota == d_c, a, zero), axis=0, keepdims=True)
+    cp = jnp.sum(jnp.where(d_iota == d_c + 1, a, zero), axis=0, keepdims=True)
     second = jnp.min(
-        jnp.where(jnp.abs(d_iota - d_int) <= 1, _BIG, a), axis=0, keepdims=True
+        jnp.where(jnp.abs(d_iota - d_int) <= 1,
+                  jnp.asarray(_big_for(a.dtype), a.dtype), a),
+        axis=0, keepdims=True,
     )
     return cmin, d_int, d_c, cm, c0, cp, second
 
 
 def _subpixel(d_int, d_c, cm, c0, cp, D, dtype):
+    # parabola in f32 regardless of the volume dtype (int16 volumes carry
+    # exact sums; the fit itself needs fractional math)
+    cm = cm.astype(jnp.float32)
+    c0 = c0.astype(jnp.float32)
+    cp = cp.astype(jnp.float32)
     denom = cm - 2.0 * c0 + cp
     safe = jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
     delta = jnp.where(jnp.abs(denom) > 1e-9, (cm - cp) / (2.0 * safe), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
     interior = (d_int >= 1) & (d_int <= D - 2)
-    return jnp.where(interior, d_c.astype(dtype) + delta, d_int.astype(dtype))
+    # always f32 out: the volume dtype may be int16 (exact-cost mode)
+    return jnp.where(
+        interior, d_c.astype(jnp.float32) + delta, d_int.astype(jnp.float32)
+    )
 
 
 def _barrel(mat, d_iota, D, left: bool, fill):
     """Shift every sublane row d of (D, W) `mat` by d lanes; left=True
     means row d reads from x+d (out[d,x] = mat[d, x+d]), else from x-d."""
+    fill = jnp.asarray(fill, mat.dtype)
     shift = 1
     while shift < D:
         if left:
@@ -89,29 +106,30 @@ def _barrel(mat, d_iota, D, left: bool, fill):
 def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, *, rows, n_disp,
                     subpixel, uniqueness, lr_max_diff):
     D = n_disp
+    compute_dtype = jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
     for r in range(rows):
-        a = vol_ref[r]  # (D, W)
+        a = vol_ref[r].astype(compute_dtype)  # (D, W)
         d_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
         cmin, d_int, d_c, cm, c0, cp, second = _wta_row(a, d_iota, D)
         d_sub = (
             _subpixel(d_int, d_c, cm, c0, cp, D, a.dtype)
             if subpixel
-            else d_int.astype(a.dtype)
+            else d_int.astype(jnp.float32)
         )
         disp_ref[r] = d_sub[0]
-        cost_ref[r] = cmin[0]
+        cost_ref[r] = cmin[0].astype(jnp.float32)
 
         ok = jnp.ones(cmin.shape, dtype=jnp.bool_)
         if uniqueness > 0.0:
-            ok &= cmin < uniqueness * second
+            ok &= cmin.astype(jnp.float32) < uniqueness * second.astype(jnp.float32)
         if lr_max_diff > 0.0:
             # right-view volume rows: a_r[d, x] = a[d, x + d]
-            ar = _barrel(a, d_iota, D, left=True, fill=_BIG)
+            ar = _barrel(a, d_iota, D, left=True, fill=_big_for(a.dtype))
             _, dr_int, dr_c, rm, r0, rp, _ = _wta_row(ar, d_iota, D)
             dr_sub = (
                 _subpixel(dr_int, dr_c, rm, r0, rp, D, a.dtype)
                 if subpixel
-                else dr_int.astype(a.dtype)
+                else dr_int.astype(jnp.float32)
             )
             # LR gather: R2[d, x] = d_R(x - d); pick row d = round(d_L(x))
             dr_b = jnp.broadcast_to(dr_sub, a.shape)
@@ -160,8 +178,8 @@ def extract_maps_hdw(
         in_specs=[pl.BlockSpec((rows, d, w), idx3, memory_space=pltpu.VMEM)],
         out_specs=(out2(), out2(), out2()),
         out_shape=(
-            jax.ShapeDtypeStruct((h, w), vol.dtype),
-            jax.ShapeDtypeStruct((h, w), vol.dtype),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.bool_),
         ),
         interpret=interpret,

@@ -89,9 +89,16 @@ def _scan_along_axis0(
 def _edge_p2(image: jnp.ndarray, axis: int, p2: float, p2_min: float, dtype) -> jnp.ndarray:
     """Adaptive P2 per pixel: scale P2 down across strong intensity edges
     (P2 / |grad|, floored at p2_min) — standard SGM practice, preserves depth
-    discontinuities the reference's local search smears."""
-    g = jnp.abs(jnp.diff(image.astype(dtype), axis=axis, prepend=jnp.take(image, jnp.array([0]), axis=axis).astype(dtype)))
-    return jnp.maximum(jnp.asarray(p2, dtype) / (1.0 + 0.5 * g), jnp.asarray(p2_min, dtype))
+    discontinuities the reference's local search smears.
+
+    Computed in f32 and rounded into `dtype` (exact for the int16 cost
+    path, identity for float dtypes)."""
+    img = image.astype(jnp.float32)
+    g = jnp.abs(jnp.diff(img, axis=axis, prepend=jnp.take(img, jnp.array([0]), axis=axis)))
+    p2_map = jnp.maximum(jnp.float32(p2) / (1.0 + 0.5 * g), jnp.float32(p2_min))
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        return jnp.round(p2_map).astype(dtype)
+    return p2_map.astype(dtype)
 
 
 # Path ids: 0 down, 1 up, 2 left->right, 3 right->left, 4..7 diagonals

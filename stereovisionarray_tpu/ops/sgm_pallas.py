@@ -36,13 +36,26 @@ from jax.experimental.pallas import tpu as pltpu
 from stereovisionarray_tpu.ops.sgm import _edge_p2
 
 _BIG = 1e9  # python float: jnp scalars become captured consts inside pallas kernels
+_BIG_INT = 16000  # int16 sentinel: survives +P1/+P2 without overflow
+
+
+def _big_for(dtype) -> float:
+    return _BIG_INT if jnp.issubdtype(dtype, jnp.integer) else _BIG
+
+
+def _const(x, like):
+    """Static scalar cast to `like`'s dtype (prevents weak-float promotion
+    of int16 volumes inside the kernels)."""
+    return jnp.asarray(x, like.dtype)
 
 
 def _recurrence(prev, cost, p1, p2):
     """One SGM step on a (N, D) front (identical math to ops/sgm._step)."""
+    p1 = _const(p1, prev)
+    one = _const(1, prev)
     prev_min = jnp.min(prev, axis=-1, keepdims=True)
-    up = jnp.concatenate([prev[:, :1] + p1 + 1.0, prev[:, :-1] + p1], axis=-1)
-    dn = jnp.concatenate([prev[:, 1:] + p1, prev[:, -1:] + p1 + 1.0], axis=-1)
+    up = jnp.concatenate([prev[:, :1] + p1 + one, prev[:, :-1] + p1], axis=-1)
+    dn = jnp.concatenate([prev[:, 1:] + p1, prev[:, -1:] + p1 + one], axis=-1)
     best = jnp.minimum(jnp.minimum(prev, prev_min + p2), jnp.minimum(up, dn))
     return cost + (best - prev_min)
 
@@ -50,7 +63,7 @@ def _recurrence(prev, cost, p1, p2):
 def _shift_front(front: jnp.ndarray, direction: int) -> jnp.ndarray:
     """Shift a (N, D) carry one position along N, BIG-filling the border
     (fresh path start — matches ops/sgm._scan_along_axis0's diag handling)."""
-    pad = jnp.full_like(front[:1], _BIG)
+    pad = jnp.full_like(front[:1], _big_for(front.dtype))
     if direction > 0:
         return jnp.concatenate([pad, front[:-1]], axis=0)
     return jnp.concatenate([front[1:], pad], axis=0)
@@ -67,7 +80,7 @@ def _sweep_kernel_diag(vol_ref, p2_ref, out_ref, c0, c1, c2, *, p1):
         c0[:] = row
         c1[:] = row
         c2[:] = row
-        out_ref[0] = 3.0 * row
+        out_ref[0] = _const(3, row) * row
 
     @pl.when(i > 0)
     def _():
@@ -141,16 +154,18 @@ def _sweep(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool):
 
 def _recurrence_dw(prev, cost, p1, p2):
     """One SGM step on a (D, N) front; p2: (1, N)."""
+    p1 = _const(p1, prev)
+    one = _const(1, prev)
     prev_min = jnp.min(prev, axis=0, keepdims=True)  # (1, N)
-    up = jnp.concatenate([prev[:1] + p1 + 1.0, prev[:-1] + p1], axis=0)
-    dn = jnp.concatenate([prev[1:] + p1, prev[-1:] + p1 + 1.0], axis=0)
+    up = jnp.concatenate([prev[:1] + p1 + one, prev[:-1] + p1], axis=0)
+    dn = jnp.concatenate([prev[1:] + p1, prev[-1:] + p1 + one], axis=0)
     best = jnp.minimum(jnp.minimum(prev, prev_min + p2), jnp.minimum(up, dn))
     return cost + (best - prev_min)
 
 
 def _shift_lanes(front: jnp.ndarray, direction: int) -> jnp.ndarray:
     """Shift a (D, N) carry one position along N (lanes), BIG border."""
-    pad = jnp.full_like(front[:, :1], _BIG)
+    pad = jnp.full_like(front[:, :1], _big_for(front.dtype))
     if direction > 0:
         return jnp.concatenate([pad, front[:, :-1]], axis=1)
     return jnp.concatenate([front[:, 1:], pad], axis=1)
@@ -162,28 +177,36 @@ def _sweep_kernel_hdw(vol_ref, p2_ref, out_ref, *carries, p1, rows, reverse,
 
     carries: 3 VMEM scratch fronts (axis, diag+1, diag-1) when diagonals,
     else 1. Reverse sweeps traverse the block's rows bottom-up (the grid
-    index map already hands blocks in reverse order)."""
+    index map already hands blocks in reverse order).
+
+    int16 volumes: HBM blocks stay int16 (half the traffic) but compute
+    and carries run in int32 — Mosaic has no int16 reductions; the
+    casts happen on the VMEM-resident row only."""
     i = pl.program_id(0)
+    compute_dtype = (
+        jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
+    )
+    store = (lambda x: x.astype(vol_ref.dtype)) if compute_dtype != vol_ref.dtype else (lambda x: x)
     order = range(rows - 1, -1, -1) if reverse else range(rows)
     first_r = order[0] if rows else 0
     for r in order:
-        row = vol_ref[r]  # (D, N)
-        p2 = p2_ref[r]  # (1, N)
+        row = vol_ref[r].astype(compute_dtype)  # (D, N)
+        p2 = p2_ref[r].astype(compute_dtype)  # (1, N)
         if r == first_r:
             @pl.when(i == 0)
             def _(row=row):
                 for c in carries:
                     c[:] = row
-                out_ref[r] = float(len(carries)) * row
+                out_ref[r] = store(_const(len(carries), row) * row)
 
             @pl.when(i > 0)
             def _(row=row, p2=p2, r=r):
-                _sweep_step(row, p2, out_ref, carries, p1, diagonals, r)
+                _sweep_step(row, p2, out_ref, carries, p1, diagonals, r, store)
         else:
-            _sweep_step(row, p2, out_ref, carries, p1, diagonals, r)
+            _sweep_step(row, p2, out_ref, carries, p1, diagonals, r, store)
 
 
-def _sweep_step(row, p2, out_ref, carries, p1, diagonals, r):
+def _sweep_step(row, p2, out_ref, carries, p1, diagonals, r, store=lambda x: x):
     if diagonals:
         c0, c1, c2 = carries
         l0 = _recurrence_dw(c0[:], row, p1, p2)
@@ -192,12 +215,18 @@ def _sweep_step(row, p2, out_ref, carries, p1, diagonals, r):
         c0[:] = l0
         c1[:] = l1
         c2[:] = l2
-        out_ref[r] = l0 + l1 + l2
+        out_ref[r] = store(l0 + l1 + l2)
     else:
         (c0,) = carries
         l0 = _recurrence_dw(c0[:], row, p1, p2)
         c0[:] = l0
-        out_ref[r] = l0
+        out_ref[r] = store(l0)
+
+
+def _carry_dtype(dtype):
+    """VMEM carry dtype: int16 volumes carry in int32 (no int16 reductions
+    in Mosaic); everything else carries in its own dtype."""
+    return jnp.int32 if jnp.dtype(dtype) == jnp.int16 else dtype
 
 
 def _block_rows(s: int, target: int = 8) -> int:
@@ -226,7 +255,7 @@ def _sweep_hdw(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool)
         ],
         out_specs=pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
-        scratch_shapes=[pltpu.VMEM((d, n), vol.dtype)] * n_carries,
+        scratch_shapes=[pltpu.VMEM((d, n), _carry_dtype(vol.dtype))] * n_carries,
         interpret=interpret,
     )(vol, p2_map[:, None, :])
 
@@ -255,8 +284,8 @@ def _sweep_kernel_hdw_bidir(vol_f_ref, vol_b_ref, p2_f_ref, p2_b_ref,
                     c[:] = row_f
                 for c in bwd:
                     c[:] = row_b
-                out_f_ref[0] = float(k) * row_f
-                out_b_ref[rows - 1] = float(k) * row_b
+                out_f_ref[0] = _const(k, row_f) * row_f
+                out_b_ref[rows - 1] = _const(k, row_b) * row_b
 
             @pl.when(i > 0)
             def _(row_f=row_f, p2_f=p2_f, row_b=row_b, p2_b=p2_b, r=r, rb=rb):

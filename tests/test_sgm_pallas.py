@@ -119,7 +119,7 @@ class TestHdwFastPath:
         base = r.uniform(0, 255, (40, 88)).astype(np.float32)
         l = jnp.asarray(base[:, :72])
         rt = jnp.asarray(base[:, 16:])
-        cc = CostConfig(num_disparities=16, census_window=(5, 5))
+        cc = CostConfig(num_disparities=16, census_window=(5, 5), dtype="float32")
         sc = SGMConfig(num_paths=8, uniqueness=0.95, lr_max_diff=1.25)
         a = two_view_disparity(l, rt, cc, sc, backend="xla")
         b = two_view_disparity(l, rt, cc, sc, backend="pallas_interpret")
@@ -145,3 +145,29 @@ class TestHdwFastPath:
         np.testing.assert_array_equal(
             np.asarray(jnp.moveaxis(c, 1, -1)), np.asarray(a)
         )
+
+
+    def test_int16_costs_match_f32_within_quantization(self):
+        """The default int16 fixed-point cost mode (scale 4) tracks the f32
+        pipeline to sub-0.05 px on valid pixels."""
+        from stereovisionarray_tpu.config import CostConfig, SGMConfig
+        from stereovisionarray_tpu.models import two_view_disparity
+
+        r = np.random.default_rng(5)
+        base = r.uniform(0, 255, (40, 88)).astype(np.float32)
+        l = jnp.asarray(base[:, :72])
+        rt = jnp.asarray(base[:, 16:])
+        sc = SGMConfig(num_paths=8, uniqueness=0.95, lr_max_diff=1.25)
+        a = two_view_disparity(
+            l, rt, CostConfig(num_disparities=16, census_window=(5, 5),
+                              dtype="float32"), sc, backend="pallas_interpret")
+        b = two_view_disparity(
+            l, rt, CostConfig(num_disparities=16, census_window=(5, 5),
+                              dtype="int16"), sc, backend="pallas_interpret")
+        inner = np.s_[:, : 72 - 16]
+        va, vb = np.asarray(a.valid)[inner], np.asarray(b.valid)[inner]
+        assert (va == vb).mean() > 0.98
+        both = va & vb
+        d = np.abs(np.asarray(a.disparity)[inner][both]
+                   - np.asarray(b.disparity)[inner][both])
+        assert d.max() < 0.05 and d.mean() < 0.005
