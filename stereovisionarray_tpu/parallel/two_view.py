@@ -95,6 +95,10 @@ def sharded_two_view_disparity(
     d_local = D // n_disp
     path_chunks = _split_paths(sgm_cfg.num_paths, n_disp)
     dtype = jnp.dtype(cost_cfg.dtype)
+    if jnp.issubdtype(dtype, jnp.integer):
+        # the sharded path runs the XLA-scan SGM, which is float-only (the
+        # int16 fixed-point mode is a single-chip Pallas optimization)
+        dtype = jnp.dtype(jnp.float32)
     use_halo = min(halo, H // n_tile) if n_tile > 1 else 0
 
     def _one_pair(l_ext: jnp.ndarray, r_ext: jnp.ndarray, disp_idx) -> tuple:
