@@ -19,3 +19,8 @@ from stereovisionarray_tpu.models.array_pipeline import (  # noqa: F401
     array_baselines,
     array_depth_pipeline,
 )
+from stereovisionarray_tpu.models.serving import (  # noqa: F401
+    FrameResult,
+    frame_sets_from_dirs,
+    stream_depth_maps,
+)

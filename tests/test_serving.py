@@ -1,0 +1,73 @@
+"""Streaming serving loop (models/serving.py): decode -> device -> array
+pipeline with bounded in-flight overlap."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereovisionarray_tpu.config import EngineConfig
+from stereovisionarray_tpu.datasets import (
+    SceneSpec,
+    reference_rig,
+    render_camera_array,
+    save_png,
+)
+from stereovisionarray_tpu.models import (
+    frame_sets_from_dirs,
+    stream_depth_maps,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rows = cols = 3
+    res = (48, 64)
+    cams = reference_rig(rows=rows, cols=cols, resolution=res)
+    cfg = EngineConfig().override(**{
+        "camera.rows": rows, "camera.cols": cols,
+        "plane_sweep.num_planes": 32, "refine.radius": 2,
+        "refine.window": 9, "sgm.num_paths": 4,
+    })
+    frames = []
+    gts = []
+    for seed in range(3):
+        imgs, deps = render_camera_array(cams, res, SceneSpec(texture_seed=seed))
+        frames.append(imgs)
+        gts.append(deps)
+    return cams, cfg, frames, gts
+
+
+def test_stream_results_in_order_and_accurate(setup):
+    cams, cfg, frames, gts = setup
+    results = list(stream_depth_maps(iter(frames), cams, cfg, ref_index=4, depth=2))
+    assert [r.index for r in results] == [0, 1, 2]
+    for r, gt in zip(results, gts):
+        valid = np.asarray(r.output.valid)
+        inner = np.zeros_like(valid)
+        inner[8:-8, 8:-8] = True
+        sel = valid & inner
+        rerr = (np.abs(np.asarray(r.output.depth) - gt[4]) / gt[4])[sel]
+        assert np.median(rerr) < 0.02, r.index
+        assert r.decode_s >= 0.0
+
+
+def test_frame_sets_from_dirs_round_trip(setup, tmp_path):
+    cams, cfg, frames, _ = setup
+    dirs = []
+    for i, imgs in enumerate(frames[:2]):
+        d = str(tmp_path / f"frame_{i}")
+        os.makedirs(d)
+        for j, img in enumerate(imgs):
+            save_png(os.path.join(d, f"view_{j:03d}.png"), img, vmin=0.0, vmax=255.0)
+        dirs.append(d)
+    stacks = list(frame_sets_from_dirs(dirs))
+    assert len(stacks) == 2
+    assert stacks[0].shape == frames[0].shape
+    # PNG quantization only (8-bit)
+    assert np.abs(stacks[0] - frames[0]).max() <= 1.0
+
+    results = list(stream_depth_maps(iter(stacks), cams, cfg, ref_index=4))
+    assert len(results) == 2
+    assert np.isfinite(np.asarray(results[0].output.refined_depth)).all()
