@@ -107,16 +107,33 @@ def two_view_disparity(
 
         interpret = resolved == "pallas_interpret"
         scale = COST_SCALE if integer_costs else 1
-        vol = fused_cost_volume(
-            left,
-            right,
-            cost_cfg.num_disparities,
-            census_window=cost_cfg.census_window,
-            bt_weight=cost_cfg.bt_weight,
-            bt_clip=cost_cfg.bt_clip,
-            dtype=dtype,
-            layout="hdw",
-        )
+        if integer_costs:
+            # fused Pallas builder: bit-exact vs the XLA int16 builder,
+            # one (D, W) slab per row via barrel-shifted census
+            from stereovisionarray_tpu.ops.cost_pallas import (
+                fused_cost_volume_pallas_hdw,
+            )
+
+            vol = fused_cost_volume_pallas_hdw(
+                left,
+                right,
+                cost_cfg.num_disparities,
+                census_window=cost_cfg.census_window,
+                bt_weight=cost_cfg.bt_weight,
+                bt_clip=cost_cfg.bt_clip,
+                interpret=interpret,
+            )
+        else:
+            vol = fused_cost_volume(
+                left,
+                right,
+                cost_cfg.num_disparities,
+                census_window=cost_cfg.census_window,
+                bt_weight=cost_cfg.bt_weight,
+                bt_clip=cost_cfg.bt_clip,
+                dtype=dtype,
+                layout="hdw",
+            )
         pen = (lambda v: round(v * scale)) if integer_costs else (lambda v: v)
         agg = sgm_aggregate_pallas_hdw(
             vol,

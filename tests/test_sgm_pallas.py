@@ -171,3 +171,36 @@ class TestHdwFastPath:
         d = np.abs(np.asarray(a.disparity)[inner][both]
                    - np.asarray(b.disparity)[inner][both])
         assert d.max() < 0.05 and d.mean() < 0.005
+
+
+    def test_pallas_cost_builder_bit_exact(self):
+        """fused_cost_volume_pallas_hdw == the XLA int16 builder, bit for
+        bit (including the x < d out-of-image mask and ragged row blocks)."""
+        from stereovisionarray_tpu.ops.cost_pallas import fused_cost_volume_pallas_hdw
+        from stereovisionarray_tpu.ops.cost_volume import fused_cost_volume
+
+        r = np.random.default_rng(0)
+        b = r.uniform(0, 255, (44, 96)).astype(np.float32)
+        l = jnp.asarray(b[:, :80])
+        rt = jnp.asarray(b[:, 16:])
+        for D in (16, 32):
+            want = np.asarray(fused_cost_volume(
+                l, rt, D, census_window=(5, 5), dtype=jnp.int16, layout="hdw"))
+            got = np.asarray(fused_cost_volume_pallas_hdw(
+                l, rt, D, census_window=(5, 5), interpret=True))
+            np.testing.assert_array_equal(got, want)
+
+    def test_pallas_cost_builder_no_bt(self):
+        from stereovisionarray_tpu.ops.cost_pallas import fused_cost_volume_pallas_hdw
+        from stereovisionarray_tpu.ops.cost_volume import fused_cost_volume
+
+        r = np.random.default_rng(1)
+        b = r.uniform(0, 255, (24, 48)).astype(np.float32)
+        l = jnp.asarray(b[:, :40])
+        rt = jnp.asarray(b[:, 8:])
+        want = np.asarray(fused_cost_volume(
+            l, rt, 8, census_window=(5, 5), bt_weight=0.0, dtype=jnp.int16,
+            layout="hdw"))
+        got = np.asarray(fused_cost_volume_pallas_hdw(
+            l, rt, 8, census_window=(5, 5), bt_weight=0.0, interpret=True))
+        np.testing.assert_array_equal(got, want)
