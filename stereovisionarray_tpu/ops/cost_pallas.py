@@ -50,25 +50,32 @@ def _barrel_back(mat, d_iota, D):
     return mat
 
 
-def _cost_kernel(cl_ref, cr_ref, lt_ref, lmn_ref, lmx_ref, rt_ref, rmn_ref,
-                 rmx_ref, out_ref, *, rows, n_disp, n_planes, n_bits,
-                 bt_weight, bt_clip):
+def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
+    # refs: [cl_0..cl_{P-1}, cr_0..cr_{P-1}, lt, lmn, lmx, rt, rmn, rmx, out]
+    # Census planes arrive as SEPARATE (rows, W) u32 blocks — a packed
+    # (rows, W, P) block would put the size-P axis on the 128-lane dim and
+    # blow VMEM up 128/P-fold (measured: scoped-vmem OOM at P=2).
+    cl_refs = refs[:n_planes]
+    cr_refs = refs[n_planes : 2 * n_planes]
+    lt_ref, lmn_ref, lmx_ref, rt_ref, rmn_ref, rmx_ref, out_ref = refs[2 * n_planes :]
     D = n_disp
-    for r in range(rows):
-        d_iota = None
+    w = out_ref.shape[-1]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, w), 0)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (D, w), 1)
+    oob = x_iota < d_iota
+    worst = float(n_bits) + (bt_weight * bt_clip if bt_weight > 0.0 else 0.0)
+
+    # fori_loop over the block's rows (NOT a Python unroll: the census
+    # barrels make each row's trace large, and an 8x unroll pushed Mosaic
+    # compile time past 15 minutes)
+    def body(r, _):
         ham = None
         for p in range(n_planes):
-            cl = cl_ref[r, :, p][None, :]  # (1, W) uint32
-            cr = cr_ref[r, :, p][None, :]
-            cr_b = jnp.broadcast_to(cr, (D, cr.shape[1]))
-            if d_iota is None:
-                d_iota = jax.lax.broadcasted_iota(jnp.int32, cr_b.shape, 0)
-            cr_sh = _barrel_back(cr_b, d_iota, D)  # row d = census_R[x-d]
+            cl = cl_refs[p][r][None, :]  # (1, W) uint32
+            cr = cr_refs[p][r][None, :]
+            cr_sh = _barrel_back(jnp.broadcast_to(cr, (D, w)), d_iota, D)
             pc = jax.lax.population_count(cl ^ cr_sh).astype(jnp.int32)
             ham = pc if ham is None else ham + pc
-
-        x_iota = jax.lax.broadcasted_iota(jnp.int32, ham.shape, 1)
-        oob = x_iota < d_iota
 
         cost_f = ham.astype(jnp.float32)
         if bt_weight > 0.0:
@@ -77,8 +84,9 @@ def _cost_kernel(cl_ref, cr_ref, lt_ref, lmn_ref, lmx_ref, rt_ref, rmn_ref,
             l_mx = lmx_ref[r][None, :]
 
             def sh(ref):
-                row2 = jnp.broadcast_to(ref[r][None, :], (D, lt.shape[1]))
-                return _barrel_back(row2, d_iota, D)
+                return _barrel_back(
+                    jnp.broadcast_to(ref[r][None, :], (D, w)), d_iota, D
+                )
 
             rs = sh(rt_ref)
             rmn = sh(rmn_ref)
@@ -87,12 +95,12 @@ def _cost_kernel(cl_ref, cr_ref, lt_ref, lmn_ref, lmx_ref, rt_ref, rmn_ref,
             d_rl = jnp.maximum(0.0, jnp.maximum(rs - l_mx, l_mn - rs))
             bt = jnp.minimum(jnp.minimum(d_lr, d_rl), bt_clip)
             cost_f = cost_f + bt_weight * bt
-            worst = float(n_bits) + bt_weight * bt_clip
-        else:
-            worst = float(n_bits)
 
         cost_f = jnp.where(oob, worst, cost_f)
         out_ref[r] = jnp.round(cost_f * COST_SCALE).astype(jnp.int16)
+        return 0
+
+    jax.lax.fori_loop(0, rows, body, 0)
 
 
 @functools.partial(
@@ -136,8 +144,10 @@ def fused_cost_volume_pallas_hdw(
     nblocks = pl.cdiv(h, rows)
     idx3 = lambda i: (i, 0, 0)
     idx2 = lambda i: (i, 0)
-    spec_census = pl.BlockSpec((rows, w, n_planes), idx3, memory_space=pltpu.VMEM)
-    spec_img = pl.BlockSpec((rows, w), idx2, memory_space=pltpu.VMEM)
+    spec_img = lambda: pl.BlockSpec((rows, w), idx2, memory_space=pltpu.VMEM)
+    cl_planes = [cl[..., p] for p in range(n_planes)]
+    cr_planes = [cr[..., p] for p in range(n_planes)]
+    operands = [*cl_planes, *cr_planes, left, l_mn, l_mx, right, r_mn, r_mx]
     return pl.pallas_call(
         functools.partial(
             _cost_kernel, rows=rows, n_disp=num_disparities,
@@ -145,9 +155,9 @@ def fused_cost_volume_pallas_hdw(
             bt_weight=float(bt_weight), bt_clip=float(bt_clip),
         ),
         grid=(nblocks,),
-        in_specs=[spec_census, spec_census] + [spec_img] * 6,
+        in_specs=[spec_img() for _ in operands],
         out_specs=pl.BlockSpec((rows, num_disparities, w), idx3,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, num_disparities, w), jnp.int16),
         interpret=interpret,
-    )(cl, cr, left, l_mn, l_mx, right, r_mn, r_mx)
+    )(*operands)
