@@ -24,3 +24,9 @@ from stereovisionarray_tpu.geometry.pointcloud import (  # noqa: F401
     points_to_depth_map,
     point_cloud_colors,
 )
+from stereovisionarray_tpu.geometry.rectify import (  # noqa: F401
+    RectifiedPair,
+    rectified_disparity_to_depth,
+    rectify_images,
+    rectify_pair,
+)
