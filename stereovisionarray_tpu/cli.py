@@ -250,6 +250,55 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Stream a sequence of array frame-set directories through the full
+    pipeline with decode/compute overlap (models/serving.py) — the
+    multi-frame production loop the reference's one-shot `main()` lacks."""
+    _setup_platform(args.platform)
+    import time
+
+    from stereovisionarray_tpu.datasets import save_array, save_png
+    from stereovisionarray_tpu.models import frame_sets_from_dirs, stream_depth_maps
+    from stereovisionarray_tpu.utils.obslog import MetricsLogger
+
+    cfg = load_config(args)
+    dirs = sorted(args.inputs)
+    os.makedirs(args.output, exist_ok=True)
+    log = MetricsLogger(os.path.join(args.output, "metrics.jsonl"))
+
+    first = _load_array_images(dirs[0], args.half_res)[0]
+    n, h, w = first.shape
+    if n != cfg.camera.rows * cfg.camera.cols:
+        raise SystemExit(
+            f"{n} images per frame set but rig is {cfg.camera.rows}x{cfg.camera.cols}"
+        )
+    cams = _rig_from_config(cfg, (h, w))
+
+    t0 = time.perf_counter()
+    count = 0
+    for res in stream_depth_maps(
+        frame_sets_from_dirs(dirs, half_res=args.half_res),
+        cams, cfg, ref_index=args.ref_index, use_roi=args.roi,
+        depth=args.prefetch,
+    ):
+        depth_np = np.asarray(res.output.refined_depth)
+        save_png(os.path.join(args.output, f"depth_{res.index:04d}.png"), depth_np)
+        save_array(
+            os.path.join(args.output, f"depth_{res.index:04d}.npz"),
+            {"depth": depth_np, "valid": np.asarray(res.output.valid)},
+        )
+        log.log("frame", index=res.index, decode_s=res.decode_s,
+                valid_fraction=float(np.asarray(res.output.valid).mean()))
+        count += 1
+    wall = time.perf_counter() - t0
+    summary = {"frames": count, "wall_s": round(wall, 3),
+               "frames_per_s": round(count / max(wall, 1e-9), 3),
+               "output": args.output}
+    log.log("serve_done", **summary)
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     """Compare a result artifact against ground truth — the standalone
     version of the reference's golden check (`getIdealRef` + masked mean,
@@ -377,6 +426,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref-index", type=int, default=None)
     p.add_argument("--half-res", action="store_true")
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("serve", help="stream frame-set dirs through the pipeline")
+    _add_common(p)
+    p.add_argument("inputs", nargs="+", help="directories, one frame set each")
+    p.add_argument("--ref-index", type=int, default=None)
+    p.add_argument("--roi", action="store_true")
+    p.add_argument("--half-res", action="store_true")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="frame sets in flight ahead of the consumer")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("evaluate", help="compare a result artifact vs ground truth")
     p.add_argument("--result", required=True, help="npz with the prediction")

@@ -118,3 +118,17 @@ def test_evaluate_cli(rendered, tmp_path, capsys):
     assert report["gt_key"] == "depths"
     assert abs(report["masked_mean_err"]) < 0.01
     assert report["bad_0.02"] < 0.6  # tau in metres here (depth domain)
+
+
+def test_serve_cli(rendered, tmp_path, capsys):
+    """Stream the same rendered frame set twice through `serve`."""
+    out_dir = str(tmp_path / "srv")
+    rc, summary = _run(capsys, [
+        "serve", rendered, rendered, "--output", out_dir, *SMALL,
+    ])
+    assert rc == 0
+    assert summary["frames"] == 2
+    for i in range(2):
+        assert os.path.exists(os.path.join(out_dir, f"depth_{i:04d}.png"))
+        assert os.path.exists(os.path.join(out_dir, f"depth_{i:04d}.npz"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
