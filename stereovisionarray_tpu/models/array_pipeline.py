@@ -36,6 +36,31 @@ from stereovisionarray_tpu.roi.mask import ellipse_mask
 __all__ = ["ArrayPipelineOutput", "array_baselines", "array_depth_pipeline"]
 
 
+def _shift_warp_pad(cameras, ref_index, src_indices, cfg) -> int:
+    """Static bound for the plane-sweep translation-warp fast path, or 0
+    when the rig is not translation-only (general homographies needed).
+
+    Computed HOST-SIDE from the concrete camera array (this function runs
+    outside jit; ``plane_sweep_depth`` takes the result as a static arg):
+    the warp shift at the nearest plane is f * |c_ref - c_src| / z_near."""
+    R = np.asarray(cameras.R)
+    eye = np.broadcast_to(np.eye(3, dtype=R.dtype), R.shape)
+    if not np.allclose(R, eye, atol=1e-6):
+        return 0
+    centers = np.asarray(cameras.centers)
+    idx = [ref_index, *src_indices]
+    if not np.allclose(centers[idx, 2], centers[ref_index, 2], atol=1e-9):
+        return 0  # differing z -> homography has a scale term
+    fx = np.broadcast_to(np.asarray(cameras.fx), (len(cameras),))
+    fy = np.broadcast_to(np.asarray(cameras.fy), (len(cameras),))
+    if not (np.allclose(fx[idx], fx[ref_index]) and np.allclose(fy[idx], fy[ref_index])):
+        return 0
+    rel = centers[list(src_indices), :2] - centers[ref_index, :2]
+    max_base = float(np.abs(rel).max())
+    f_max = float(max(fx[ref_index], fy[ref_index]))
+    return int(np.ceil(f_max * max_base / cfg.plane_sweep.z_near)) + 2
+
+
 class ArrayPipelineOutput(NamedTuple):
     depth: jnp.ndarray  # (H, W) fused depth before refinement
     refined_depth: jnp.ndarray  # (H, W) after multi-view refinement
@@ -120,6 +145,7 @@ def array_depth_pipeline(
         cfg.plane_sweep,
         cfg.sgm,
         mask=mask,
+        shift_pad=_shift_warp_pad(cameras, ref_index, src_indices, cfg),
     )
 
     # ---- multi-view photoconsistency refinement in disparity space ---- #

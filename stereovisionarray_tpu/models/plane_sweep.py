@@ -116,22 +116,56 @@ def _fuse_views(
     raise ValueError(f"unknown fusion {cfg.fusion!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("ref_index", "src_indices", "cfg"))
+def _shift_warp(padded: jnp.ndarray, su, sv, h: int, w: int, pad: int):
+    """Sample a `pad`-padded source image at a UNIFORM subpixel shift:
+    out[y, x] = src[y + sv, x + su], bilinear.
+
+    Four `dynamic_slice`s + lerp instead of a per-pixel gather — on TPU a
+    general 2D gather serializes (measured: the homography-warp plane sweep
+    spends ~16 s/frame-set in gathers at 5x5x270x360x128); contiguous
+    dynamic slices are full-bandwidth copies. Used when every homography of
+    the sweep is a pure translation (translation-only rigs — the reference
+    geometry)."""
+    j0 = jnp.floor(sv)
+    i0 = jnp.floor(su)
+    fv = sv - j0
+    fu = su - i0
+    y0 = (pad + j0).astype(jnp.int32)
+    x0 = (pad + i0).astype(jnp.int32)
+
+    def sl(dy, dx):
+        return jax.lax.dynamic_slice(padded, (y0 + dy, x0 + dx), (h, w))
+
+    top = sl(0, 0) * (1.0 - fu) + sl(0, 1) * fu
+    bot = sl(1, 0) * (1.0 - fu) + sl(1, 1) * fu
+    return top * (1.0 - fv) + bot * fv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ref_index", "src_indices", "cfg", "shift_pad")
+)
 def plane_sweep_volume(
     images: jnp.ndarray,
     cameras: CameraArray,
     ref_index: int,
     src_indices: tuple,
     cfg: PlaneSweepConfig = PlaneSweepConfig(),
+    shift_pad: int = 0,
 ) -> tuple:
     """Build the fused (H, W, D) plane-sweep cost volume and the per-plane
     valid-view counts (H, W, D).
 
     images: (N, H, W); src_indices: static tuple of source view ids.
+    shift_pad: when > 0, use the translation-only fast path — every
+    (view, plane) homography is treated as the pure pixel translation
+    (H[0,2], H[1,2]) and warping becomes padded dynamic slices + lerp
+    (valid for rigs with identical K and R; callers check, see
+    ``array_depth_pipeline``). `shift_pad` must bound the largest |shift|.
     """
     dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
     images = images.astype(dtype)
     ref = images[ref_index]
+    h, w = ref.shape
     depths = inverse_depth_samples(cfg.z_near, cfg.z_far, cfg.num_planes, dtype=dtype)
     src = jnp.asarray(src_indices, dtype=jnp.int32)
     H_all = cameras.fronto_plane_homography(ref_index, src, depths)  # (S, D, 3, 3)
@@ -141,19 +175,46 @@ def plane_sweep_volume(
     )
     src_images = images[src]  # (S, H, W)
 
-    def per_plane(Hs_d):
-        # Hs_d: (S, 3, 3) homographies of every source view for this plane
-        def per_view(img, Hm):
-            warped, ok = homography_warp(img, Hm)
-            return warped, ok
+    if shift_pad > 0:
+        pad = shift_pad + 1
+        padded = jnp.pad(src_images, ((0, 0), (pad, pad), (pad, pad)))
+        # (S, D, 2): (su, sv) per view/plane (normalized; H22 == 1 exactly
+        # for the translation-only equal-z rigs this path is gated to)
+        shifts = H_all[..., :2, 2] / H_all[..., 2:3, 2]
+        v_iota = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+        u_iota = jax.lax.broadcasted_iota(dtype, (h, w), 1)
 
-        warped, ok = jax.vmap(per_view)(src_images, Hs_d)  # (S, H, W)
-        costs, ceiling = _view_cost(ref, ref_census, warped, ok, cfg, dtype)
-        fused = _fuse_views(costs, ok, ceiling, cfg)
-        return fused, jnp.sum(ok, axis=0).astype(jnp.int32)
+        def per_plane(shift_d):
+            def per_view(img_p, s_uv):
+                warped = _shift_warp(img_p, s_uv[0], s_uv[1], h, w, pad)
+                ok = (
+                    (u_iota + s_uv[0] >= 0.0)
+                    & (u_iota + s_uv[0] <= w - 1.0)
+                    & (v_iota + s_uv[1] >= 0.0)
+                    & (v_iota + s_uv[1] <= h - 1.0)
+                )
+                return warped, ok
 
-    # lax.map over planes bounds peak memory at one (S, H, W) warp stack
-    fused, nviews = jax.lax.map(per_plane, jnp.swapaxes(H_all, 0, 1))  # (D, H, W)
+            warped, ok = jax.vmap(per_view)(padded, shift_d)  # (S, H, W)
+            costs, ceiling = _view_cost(ref, ref_census, warped, ok, cfg, dtype)
+            fused = _fuse_views(costs, ok, ceiling, cfg)
+            return fused, jnp.sum(ok, axis=0).astype(jnp.int32)
+
+        fused, nviews = jax.lax.map(per_plane, jnp.swapaxes(shifts, 0, 1))
+    else:
+        def per_plane(Hs_d):
+            # Hs_d: (S, 3, 3) homographies of every source view for this plane
+            def per_view(img, Hm):
+                warped, ok = homography_warp(img, Hm)
+                return warped, ok
+
+            warped, ok = jax.vmap(per_view)(src_images, Hs_d)  # (S, H, W)
+            costs, ceiling = _view_cost(ref, ref_census, warped, ok, cfg, dtype)
+            fused = _fuse_views(costs, ok, ceiling, cfg)
+            return fused, jnp.sum(ok, axis=0).astype(jnp.int32)
+
+        # lax.map over planes bounds peak memory at one (S, H, W) warp stack
+        fused, nviews = jax.lax.map(per_plane, jnp.swapaxes(H_all, 0, 1))  # (D, H, W)
     vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)
     nv = jnp.moveaxis(nviews, 0, -1)
     return vol, nv, depths
@@ -167,7 +228,10 @@ def _resolve_backend(backend: str) -> str:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ref_index", "src_indices", "cfg", "sgm_cfg", "min_views", "backend"),
+    static_argnames=(
+        "ref_index", "src_indices", "cfg", "sgm_cfg", "min_views", "backend",
+        "shift_pad",
+    ),
 )
 def plane_sweep_depth(
     images: jnp.ndarray,
@@ -179,6 +243,7 @@ def plane_sweep_depth(
     min_views: int = 2,
     mask: Optional[jnp.ndarray] = None,
     backend: str = "auto",
+    shift_pad: int = 0,
 ) -> PlaneSweepOutput:
     """Full N-view fused depth for the reference view.
 
@@ -192,7 +257,9 @@ def plane_sweep_depth(
     kernels (ops/sgm_pallas.py, ops/extract_pallas.py); smoothness over
     the plane index is the same recurrence as disparity smoothness.
     """
-    vol, nv, depths = plane_sweep_volume(images, cameras, ref_index, src_indices, cfg)
+    vol, nv, depths = plane_sweep_volume(
+        images, cameras, ref_index, src_indices, cfg, shift_pad=shift_pad
+    )
     resolved = _resolve_backend(backend)
     if resolved in ("pallas", "pallas_interpret"):
         from stereovisionarray_tpu.ops.extract_pallas import extract_maps_hdw
