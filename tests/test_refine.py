@@ -124,3 +124,27 @@ def test_subpixel_offset_recovery():
     inner = np.s_[12:-12, 12:-12]
     err = np.abs(np.asarray(out.disparity) - true_disp)[inner]
     assert np.median(err) < 0.35
+
+
+def test_exact_and_approx_warp_agree_on_smooth_disparity():
+    """The single-gather approximation (exact_warp=False, the default)
+    matches the literal re-gather objective on smooth disparity fields."""
+    rng = np.random.default_rng(3)
+    h, w = 64, 64
+    ref = _textured(rng, h, w)
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    true_disp = (4.0 + 2.0 * u / w).astype(np.float32)  # smooth gradient
+    baselines = np.asarray([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    aux = _make_views(ref, true_disp, baselines)
+    init = jnp.asarray(true_disp + 2.0)
+    a = multiview_refine(jnp.asarray(ref), jnp.asarray(aux), jnp.asarray(baselines),
+                         init, radius=4, window=9, exact_warp=True)
+    b = multiview_refine(jnp.asarray(ref), jnp.asarray(aux), jnp.asarray(baselines),
+                         init, radius=4, window=9, exact_warp=False)
+    inner = np.s_[10:-10, 10:-10]
+    d = np.abs(np.asarray(a.disparity) - np.asarray(b.disparity))[inner]
+    assert np.median(d) < 0.1
+    # both recover the truth
+    for out in (a, b):
+        err = np.abs(np.asarray(out.disparity) - true_disp)[inner]
+        assert np.median(err) < 0.5
