@@ -363,8 +363,15 @@ def sgm_aggregate_pallas_hdw(
     # fused bidirectional kernel (_sweep_hdw_bidir) 21.1 vs 14.2 MP/s
     # end-to-end — the dual block streams double the VMEM working set and
     # starve the pipeliner's double buffering. Kept for smaller D/W shapes.
-    down = _sweep_hdw(vol, p2_y, p1, False, diagonals, interpret)
-    up = _sweep_hdw(vol, p2_y, p1, True, diagonals, interpret)
+    # The STACKED-carry variant (one (3D, N) carry for the three same-
+    # direction paths) beats three separate carries 4.3x on the vertical
+    # sweeps — fatter VPU ops, one dispatch chain per row.
+    if diagonals:
+        down = _sweep_hdw_stacked(vol, p2_y, p1, False, interpret)
+        up = _sweep_hdw_stacked(vol, p2_y, p1, True, interpret)
+    else:
+        down = _sweep_hdw(vol, p2_y, p1, False, False, interpret)
+        up = _sweep_hdw(vol, p2_y, p1, True, False, interpret)
 
     vol_t = jnp.transpose(vol, (2, 1, 0))  # (W, D, H)
     p2_x_t = jnp.transpose(p2_x, (1, 0))  # (W, H)
@@ -412,3 +419,86 @@ def sgm_aggregate_pallas(
     rl = _sweep(vol_t, p2_x_t, p1, reverse=True, diagonals=False, interpret=interpret)
 
     return down + up + jnp.swapaxes(lr + rl, 0, 1)
+
+
+# --------------------------------------------------------------------- #
+# Experimental: stacked-carry vertical sweep — all 3 diagonal-group paths
+# in ONE (3*D, N) carry so the recurrence's mins/adds run on 3x-fatter
+# registers (fewer Mosaic op dispatches per row).
+# --------------------------------------------------------------------- #
+
+
+def _sweep_kernel_hdw_stacked(vol_ref, p2_ref, out_ref, carry, *, p1, rows,
+                              reverse, n_disp):
+    D = n_disp
+    i = pl.program_id(0)
+    compute_dtype = jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
+    store = (
+        (lambda x: x.astype(vol_ref.dtype))
+        if compute_dtype != vol_ref.dtype
+        else (lambda x: x)
+    )
+    order = range(rows - 1, -1, -1) if reverse else range(rows)
+    first_r = order[0] if rows else 0
+    for r in order:
+        row = vol_ref[r].astype(compute_dtype)  # (D, N)
+        p2 = p2_ref[r].astype(compute_dtype)  # (1, N)
+
+        def step(row=row, p2=p2, r=r):
+            prev = carry[:]  # (3D, N): [axis, diag+1, diag-1]
+            # per-path lane shifts on the diagonal segments
+            shifted = jnp.concatenate(
+                [
+                    prev[:D],
+                    _shift_lanes(prev[D : 2 * D], +1),
+                    _shift_lanes(prev[2 * D :], -1),
+                ],
+                axis=0,
+            )
+            p1c = _const(p1, shifted)
+            one = _const(1, shifted)
+            s3 = shifted.reshape(3, D, -1)
+            prev_min = jnp.min(s3, axis=1, keepdims=True)  # (3, 1, N)
+            up = jnp.concatenate([s3[:, :1] + p1c + one, s3[:, :-1] + p1c], axis=1)
+            dn = jnp.concatenate([s3[:, 1:] + p1c, s3[:, -1:] + p1c + one], axis=1)
+            best = jnp.minimum(
+                jnp.minimum(s3, prev_min + p2[None]), jnp.minimum(up, dn)
+            )
+            l3 = row[None] + (best - prev_min)  # (3, D, N)
+            flat = l3.reshape(3 * D, -1)
+            carry[:] = flat
+            out_ref[r] = store(l3.sum(axis=0))
+
+        if r == first_r:
+            @pl.when(i == 0)
+            def _(row=row):
+                carry[:] = jnp.concatenate([row, row, row], axis=0)
+                out_ref[r] = store(_const(3, row) * row)
+
+            @pl.when(i > 0)
+            def _():
+                step()
+        else:
+            step()
+
+
+def _sweep_hdw_stacked(vol, p2_map, p1, reverse: bool, interpret: bool):
+    s, d, n = vol.shape
+    rows = _block_rows(s)
+    nblocks = s // rows
+    idx = (lambda i: (nblocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _sweep_kernel_hdw_stacked, p1=float(p1), rows=rows, reverse=reverse,
+            n_disp=d,
+        ),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, n), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * d, n), _carry_dtype(vol.dtype))],
+        interpret=interpret,
+    )(vol, p2_map[:, None, :])
