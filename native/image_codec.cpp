@@ -97,6 +97,7 @@ static bool decode_pnm(const std::vector<uint8_t>& data, Image* out) {
     double scale;
     if (!parse_int(&c, &w) || !parse_int(&c, &h) || !parse_float(&c, &scale))
       return fail("pfm: bad header");
+    if (w <= 0 || h <= 0 || w > 1 << 20 || h > 1 << 20) return fail("pfm: bad dims");
     ++c.p;  // single whitespace after scale
     int ch = (kind == 'F') ? 3 : 1;
     size_t need = static_cast<size_t>(w) * h * ch * 4;
@@ -128,6 +129,7 @@ static bool decode_pnm(const std::vector<uint8_t>& data, Image* out) {
   long w, h, maxv;
   if (!parse_int(&c, &w) || !parse_int(&c, &h) || !parse_int(&c, &maxv))
     return fail("pnm: bad header");
+  if (w <= 0 || h <= 0 || w > 1 << 20 || h > 1 << 20) return fail("pnm: bad dims");
   if (maxv <= 0 || maxv > 65535) return fail("pnm: bad maxval");
   out->width = static_cast<int>(w);
   out->height = static_cast<int>(h);
@@ -179,11 +181,19 @@ static bool decode_bmp(const std::vector<uint8_t>& d, Image* out) {
   uint32_t comp = rd32(&d[30]);
   if (comp != 0 && !(comp == 3 && bpp == 32)) return fail("bmp: compressed unsupported");
   if (w <= 0 || h <= 0 || w > 1 << 20 || h > 1 << 20) return fail("bmp: bad dims");
+  if (bpp != 8 && bpp != 24 && bpp != 32) return fail("bmp: bpp unsupported");
 
   const uint8_t* pal = nullptr;
-  if (bpp == 8) pal = &d[14 + hdr_size];
+  if (bpp == 8) {
+    // the 256-entry BGRA palette must fit between the header and pixel data
+    size_t pal_off = 14 + static_cast<size_t>(hdr_size);
+    if (pal_off + 256 * 4 > d.size() || pal_off + 256 * 4 > data_off)
+      return fail("bmp: truncated palette");
+    pal = &d[pal_off];
+  }
   size_t stride = (static_cast<size_t>(w) * bpp / 8 + 3) & ~size_t{3};
-  if (d.size() < data_off + stride * h) return fail("bmp: truncated data");
+  if (data_off > d.size() || d.size() - data_off < stride * h)
+    return fail("bmp: truncated data");
 
   out->width = w;
   out->height = h;
@@ -256,6 +266,7 @@ static bool decode_png(const std::vector<uint8_t>& d, Image* out) {
     pos += 12 + len;
   }
   if (w == 0 || h == 0) return fail("png: no IHDR");
+  if (w > 1u << 20 || h > 1u << 20) return fail("png: bad dims");
   if (interlace != 0) return fail("png: interlaced unsupported");
   if (bit_depth != 8 && bit_depth != 16) return fail("png: bit depth unsupported");
   int src_ch;

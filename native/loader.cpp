@@ -55,18 +55,27 @@ struct Loader {
       if (idx >= paths.size()) return;
       Slot local;
       svt::Image img;
-      if (!svt::decode_image(paths[idx], &img)) {
-        local.failed = true;
-        local.error = svt::g_last_error;
-      } else {
-        if (gray && img.channels != 1) {
-          std::vector<float> g;
-          svt::to_gray(img, &g);
-          img.pixels = std::move(g);
-          img.channels = 1;
+      // decode_image can throw (bad_alloc/length_error on corrupt headers
+      // with huge dims); an escaped exception in a worker thread would call
+      // std::terminate — convert to a per-frame decode failure instead
+      try {
+        if (!svt::decode_image(paths[idx], &img)) {
+          local.failed = true;
+          local.error = svt::g_last_error;
+        } else {
+          if (gray && img.channels != 1) {
+            std::vector<float> g;
+            svt::to_gray(img, &g);
+            img.pixels = std::move(g);
+            img.channels = 1;
+          }
+          if (half_res) svt::decimate2(&img.pixels, &img.width, &img.height, img.channels);
+          local.image = std::move(img);
         }
-        if (half_res) svt::decimate2(&img.pixels, &img.width, &img.height, img.channels);
-        local.image = std::move(img);
+      } catch (const std::exception& e) {
+        local.failed = true;
+        local.error = std::string("decode exception: ") + e.what();
+        local.image = svt::Image();
       }
       size_t s = idx % capacity;
       std::unique_lock<std::mutex> lk(mu);
@@ -92,17 +101,25 @@ const char* svt_last_error() { return svt::g_last_error.c_str(); }
 void* svt_decode(const char* path, int gray, int half_res, int* width,
                  int* height, int* channels) {
   auto* img = new svt::Image();
-  if (!svt::decode_image(path, img)) {
+  // exceptions must not cross the extern "C"/ctypes boundary: convert to
+  // the documented null-return + svt_last_error contract
+  try {
+    if (!svt::decode_image(path, img)) {
+      delete img;
+      return nullptr;
+    }
+    if (gray && img->channels != 1) {
+      std::vector<float> g;
+      svt::to_gray(*img, &g);
+      img->pixels = std::move(g);
+      img->channels = 1;
+    }
+    if (half_res) svt::decimate2(&img->pixels, &img->width, &img->height, img->channels);
+  } catch (const std::exception& e) {
+    svt::g_last_error = std::string("decode exception: ") + e.what();
     delete img;
     return nullptr;
   }
-  if (gray && img->channels != 1) {
-    std::vector<float> g;
-    svt::to_gray(*img, &g);
-    img->pixels = std::move(g);
-    img->channels = 1;
-  }
-  if (half_res) svt::decimate2(&img->pixels, &img->width, &img->height, img->channels);
   *width = img->width;
   *height = img->height;
   *channels = img->channels;

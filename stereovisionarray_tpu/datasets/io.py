@@ -75,8 +75,6 @@ def save_png(path: str, array: np.ndarray, vmin: Optional[float] = None,
     artifact-file replacement for the reference's imshow windows
     (``/root/reference/src/functions.cpp:234-239``). Grayscale PNGs encode
     through the native C++ codec when available."""
-    import imageio.v3 as iio
-
     a = np.asarray(array, dtype=np.float32)
     lo = float(np.nanmin(a)) if vmin is None else vmin
     hi = float(np.nanmax(a)) if vmax is None else vmax
@@ -89,6 +87,9 @@ def save_png(path: str, array: np.ndarray, vmin: Optional[float] = None,
         if native_loader.native_available():
             native_loader.encode_png_gray(path, u8)
             return
+    # imageio is an optional extra — only needed past the native branch
+    import imageio.v3 as iio
+
     iio.imwrite(path, u8)
 
 

@@ -58,7 +58,18 @@ def _shift_warp_pad(cameras, ref_index, src_indices, cfg) -> int:
     rel = centers[list(src_indices), :2] - centers[ref_index, :2]
     max_base = float(np.abs(rel).max())
     f_max = float(max(fx[ref_index], fy[ref_index]))
-    return int(np.ceil(f_max * max_base / cfg.plane_sweep.z_near)) + 2
+    # differing principal points add a constant H[0:2,2] shift on top of
+    # the depth-dependent baseline term — include it in the pad bound so
+    # dynamic_slice never silently clamps (the warp stays a pure shift)
+    cx = np.broadcast_to(np.asarray(cameras.cx), (len(cameras),))
+    cy = np.broadcast_to(np.asarray(cameras.cy), (len(cameras),))
+    dpp = float(
+        max(
+            np.abs(cx[idx] - cx[ref_index]).max(),
+            np.abs(cy[idx] - cy[ref_index]).max(),
+        )
+    )
+    return int(np.ceil(f_max * max_base / cfg.plane_sweep.z_near + dpp)) + 2
 
 
 class ArrayPipelineOutput(NamedTuple):
