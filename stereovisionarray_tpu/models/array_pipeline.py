@@ -115,6 +115,7 @@ def array_depth_pipeline(
     ref_index: Optional[int] = None,
     use_roi: bool = False,
     mask: Optional[jnp.ndarray] = None,
+    roi_mode: str = "face",
 ) -> ArrayPipelineOutput:
     """Run the full array pipeline on (N, H, W) grayscale images.
 
@@ -124,10 +125,13 @@ def array_depth_pipeline(
       cfg: engine config (plane_sweep / sgm / refine sections used here).
       ref_index: reference view (default: grid center, the reference's
         camera 12, ``/root/reference/src/functions.cpp:150``).
-      use_roi: detect a face/foreground ellipse on the reference view and
-        gate compute with it (the reference's dlib mask role,
+      use_roi: gate compute to a detected subject on the reference view (the
+        reference's dlib mask role,
         ``/root/reference/src/CameraStereoVision.cpp:53``).
       mask: explicit ROI override (wins over use_roi).
+      roi_mode: "face" = NCC face detector with landmark convex-poly mask,
+        Otsu-ellipse fallback (``roi.face.face_mask`` — the getFaceMask
+        equivalent); "otsu" = foreground ellipse only.
     """
     n, h, w = images.shape
     if ref_index is None:
@@ -142,7 +146,11 @@ def array_depth_pipeline(
     )
 
     if mask is None:
-        if use_roi:
+        if use_roi and roi_mode == "face":
+            from stereovisionarray_tpu.roi.face import face_mask as _face_mask
+
+            mask = _face_mask(images[ref_index])
+        elif use_roi:
             roi = detect_face_ellipse(images[ref_index])
             mask = ellipse_mask((h, w), roi.center, roi.axes, roi.angle) & roi.found
         else:

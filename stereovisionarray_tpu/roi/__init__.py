@@ -17,3 +17,9 @@ from stereovisionarray_tpu.roi.mask import (  # noqa: F401
     face_mask_from_landmarks,
 )
 from stereovisionarray_tpu.roi.detect import detect_face_ellipse  # noqa: F401
+from stereovisionarray_tpu.roi.face import (  # noqa: F401
+    FaceDetection,
+    canonical_landmarks,
+    detect_face,
+    face_mask,
+)

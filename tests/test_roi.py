@@ -135,3 +135,99 @@ class TestDetector:
         )
         v = np.asarray(out.valid)
         assert not v[~mask].any()
+
+
+def _render_head(h=180, w=240, cu=130.0, cv=80.0, fw=60.0, bright_bg=True, rng=None):
+    """Rendered head scene: skin oval with eye/brow/mouth features at face
+    width fw, over a BRIGHTER (or darker) background — the case the Otsu
+    foreground ellipse inverts on (VERDICT r1: roi/detect fragility)."""
+    vv, uu = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.full((h, w), 225.0 if bright_bg else 40.0, np.float32)
+    img += 20.0 * (uu / w)  # background gradient
+    fh = fw * 56.0 / 44.0
+    un = (uu - (cu - fw / 2)) / fw
+    vn = (vv - (cv - fh / 2)) / fh
+    oval = ((un - 0.5) / 0.48) ** 2 + ((vn - 0.52) / 0.52) ** 2 <= 1.0
+    img[oval] = 140.0  # skin
+
+    def blob(bu, bv, su, sv):
+        return np.exp(-0.5 * (((un - bu) / su) ** 2 + ((vn - bv) / sv) ** 2))
+
+    img -= 70.0 * blob(0.30, 0.35, 0.10, 0.05)  # eyes
+    img -= 70.0 * blob(0.70, 0.35, 0.10, 0.05)
+    img -= 40.0 * blob(0.26, 0.24, 0.12, 0.03)  # brows
+    img -= 40.0 * blob(0.74, 0.24, 0.12, 0.03)
+    img -= 55.0 * blob(0.50, 0.78, 0.15, 0.05)  # mouth
+    if rng is not None:
+        img += rng.normal(0, 3.0, img.shape).astype(np.float32)
+    return img, oval
+
+
+class TestFaceDetector:
+    def test_detects_on_bright_background(self, rng):
+        """NCC detector must find the face where the Otsu ellipse picks the
+        bright background instead (the reference's dlib detector handles
+        this case, /root/reference/src/dlibFaceSelect.cpp:24)."""
+        from stereovisionarray_tpu.roi import detect_face
+
+        img, oval = _render_head(bright_bg=True, rng=rng)
+        det = detect_face(jnp.asarray(img))
+        assert bool(det.found), f"score {float(det.score)}"
+        box = np.asarray(det.box)
+        # box center inside the rendered face oval
+        bu, bv = box[0] + box[2] / 2, box[1] + box[3] / 2
+        assert oval[int(bv), int(bu)], f"box center ({bu},{bv}) off-face"
+        assert abs(box[2] - 60.0) / 60.0 < 0.45, f"width {box[2]} vs 60"
+
+    def test_mask_correct_where_otsu_inverts(self, rng):
+        from stereovisionarray_tpu.roi import detect_face_ellipse, ellipse_mask, face_mask
+
+        img, oval = _render_head(bright_bg=True, rng=rng)
+        m = np.asarray(face_mask(jnp.asarray(img)))
+        face_cov = (m & oval).sum() / oval.sum()
+        bg_frac = (m & ~oval).sum() / (~oval).sum()
+        assert face_cov > 0.5, f"face coverage {face_cov}"
+        assert bg_frac < 0.15, f"background leakage {bg_frac}"
+        # and the Otsu ellipse indeed gets this scene wrong — its foreground
+        # is the bright background, so its mask leaks heavily outside the
+        # face (documents WHY the NCC detector exists)
+        roi = detect_face_ellipse(jnp.asarray(img))
+        m_otsu = np.asarray(ellipse_mask(img.shape, roi.center, roi.axes, roi.angle))
+        otsu_bg = (m_otsu & ~oval).sum() / (~oval).sum()
+        assert otsu_bg > 0.3, f"expected Otsu to leak, got {otsu_bg}"
+
+    def test_detects_scaled_face(self, rng):
+        from stereovisionarray_tpu.roi import detect_face
+
+        img, oval = _render_head(h=200, w=260, cu=100.0, cv=110.0, fw=95.0,
+                                 bright_bg=False, rng=rng)
+        det = detect_face(jnp.asarray(img))
+        assert bool(det.found)
+        box = np.asarray(det.box)
+        bu, bv = box[0] + box[2] / 2, box[1] + box[3] / 2
+        assert oval[int(bv), int(bu)]
+        assert abs(box[2] - 95.0) / 95.0 < 0.45, f"width {box[2]} vs 95"
+
+    def test_landmarks_feed_reference_recipe(self, rng):
+        """Landmarks drive face_mask_from_landmarks (jaw+brow convex fill,
+        /root/reference/src/dlibFaceSelect.cpp:29-36) without index errors
+        and produce a plausible face-shaped region."""
+        from stereovisionarray_tpu.roi import detect_face, face_mask_from_landmarks
+
+        img, oval = _render_head(rng=rng)
+        det = detect_face(jnp.asarray(img))
+        m = np.asarray(face_mask_from_landmarks(img.shape, det.landmarks))
+        assert 0.3 * oval.sum() < m.sum() < 3.0 * oval.sum()
+
+    def test_no_face_falls_back(self, rng):
+        """Featureless scene: detector score stays low; face_mask falls back
+        to the Otsu ellipse path without error."""
+        from stereovisionarray_tpu.roi import face_mask
+
+        img = rng.uniform(0, 30, size=(120, 160)).astype(np.float32)
+        vv, uu = np.mgrid[0:120, 0:160].astype(np.float32)
+        blob = ((uu - 80) / 25) ** 2 + ((vv - 60) / 30) ** 2 <= 1.0
+        img[blob] += 150.0
+        m = np.asarray(face_mask(jnp.asarray(img), threshold=0.9))
+        cov = (m & blob).sum() / blob.sum()
+        assert cov > 0.5
