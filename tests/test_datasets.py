@@ -144,3 +144,25 @@ class TestIO:
         p = str(tmp_path / "img.png")
         save_png(p, rng.normal(size=(8, 8)))
         assert iio.imread(p).shape == (8, 8)
+
+
+class TestEvalFixture:
+    """The committed golden-eval scene (data/eval_scene) must stay loadable
+    through the real Middlebury ingest path (scripts/make_eval_fixture.py
+    regenerates it; EVAL_r02.json records the metrics)."""
+
+    def test_committed_scene_loads(self):
+        import os
+
+        from stereovisionarray_tpu.datasets.middlebury import load_middlebury_pair
+
+        folder = os.path.join(os.path.dirname(__file__), "..", "data", "eval_scene")
+        pair = load_middlebury_pair(folder)
+        assert pair.left.shape == (540, 720) == pair.right.shape
+        assert pair.ndisp == 64
+        assert pair.gt_disparity is not None
+        v = pair.valid_gt
+        assert v.mean() > 0.99
+        gt = pair.gt_disparity[v]
+        assert 30.0 < gt.min() < gt.max() < 62.0
+        assert float(pair.calib["baseline"]) == 30.0  # mm
