@@ -86,6 +86,45 @@ def _scan_along_axis0(
     return jnp.concatenate([first[None], rest], axis=0)
 
 
+def scan_with_carry(
+    vol: jnp.ndarray,
+    p1,
+    p2_row: jnp.ndarray,
+    diag_shift: int = 0,
+    init_carry: Optional[jnp.ndarray] = None,
+):
+    """SGM path scan along axis 0 of (N_steps, W, D) with an EXPLICIT carry
+    boundary — the building block of the exact tile-sharded mode
+    (parallel/two_view.py): shard k scans its local rows starting from shard
+    k-1's final wavefront, relayed via ppermute.
+
+    init_carry: (W, D) front from the predecessor, or None for a fresh path
+    start. A BIG-filled carry is mathematically identical to the fresh start
+    (``best - prev_min == 0`` when prev is uniformly BIG), so
+    ``scan_with_carry(vol, ..., init_carry=None)`` equals
+    ``_scan_along_axis0(vol, ...)`` bit-for-bit.
+
+    Returns (L, final_carry): the aggregated rows and the post-update front
+    after the last row (what the NEXT shard needs as init_carry).
+    """
+    if init_carry is None:
+        init_carry = jnp.full(vol.shape[1:], _BIG, vol.dtype)
+
+    def step(prev, xs):
+        cost, p2_t = xs
+        if diag_shift != 0:
+            pad = jnp.full_like(prev[:1], _BIG)
+            if diag_shift > 0:
+                prev = jnp.concatenate([pad, prev[:-1]], axis=0)
+            else:
+                prev = jnp.concatenate([prev[1:], pad], axis=0)
+        out = _step(prev, cost, p1, p2_t)
+        return out, out
+
+    final, rows = jax.lax.scan(step, init_carry, (vol, p2_row))
+    return rows, final
+
+
 def _edge_p2(image: jnp.ndarray, axis: int, p2: float, p2_min: float, dtype) -> jnp.ndarray:
     """Adaptive P2 per pixel: scale P2 down across strong intensity edges
     (P2 / |grad|, floored at p2_min) — standard SGM practice, preserves depth

