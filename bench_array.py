@@ -1,0 +1,115 @@
+"""Array-pipeline benchmark — ONE JSON line (driver-readable; VERDICT r1
+item 9: round-over-round perf artifacts instead of README prose).
+
+Measures the full camera-array pipeline of BASELINE.json config 3 at the
+reference's working class: 5x5 views, 270x360, 128 sweep planes, CROSS
+topology, plane-sweep fusion + SGM + multi-view refinement — the TPU
+generalization of the reference's whole `main()`
+(``/root/reference/src/CameraStereoVision.cpp:10-123``).
+
+Timing uses the same dispatch-overhead-cancelling slope method as bench.py
+(two batch sizes inside one jitted lax.map, fenced by scalar fetch),
+reporting frame-sets/second. ``vs_baseline``: the reference processes ONE
+frame-set per run, single-threaded, at an estimated >= 60 s/frame-set
+(25 views x the two-view hot-loop model in bench.py, ~0.07 MP/s over
+0.097 MP per pair + refine) => ~0.016 set/s. vs_baseline = measured/0.016.
+"""
+
+import json
+import os
+import statistics
+import time
+
+import numpy as np
+
+REF_EST_SETS_PER_S = 0.016
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+ROWS = COLS = 5
+H, W = 270, 360
+PLANES = 128
+B_SMALL, B_BIG = 1, 3
+REPEATS = 8
+MAX_ROUNDS = 4
+
+
+def _make(jax, jnp, batch):
+    from stereovisionarray_tpu.config import EngineConfig
+    from stereovisionarray_tpu.datasets import SceneSpec, reference_rig, render_camera_array
+    from stereovisionarray_tpu.models import array_depth_pipeline
+
+    cams = reference_rig(rows=ROWS, cols=COLS, spacing=0.05, resolution=(H, W))
+    images, _ = render_camera_array(cams, (H, W), SceneSpec())
+    cfg = EngineConfig().override(**{
+        "camera.rows": ROWS,
+        "camera.cols": COLS,
+        "plane_sweep.num_planes": PLANES,
+        "plane_sweep.topology": "CROSS",
+    })
+
+    stack = np.stack([images] * batch)  # (B, N, H, W)
+
+    @jax.jit
+    def run(batched_images):
+        def one(imgs):
+            out = array_depth_pipeline(imgs, cams, cfg)
+            return jnp.sum(out.refined_depth)
+        return jnp.sum(jax.lax.map(one, batched_images))
+
+    return run, jax.device_put(jnp.asarray(stack))
+
+
+def _timed(run, x, salt):
+    t0 = time.perf_counter()
+    float(run(x + salt))
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    small = _make(jax, jnp, B_SMALL)
+    big = _make(jax, jnp, B_BIG)
+    for run, x in (small, big):  # compile + warm twice
+        _timed(run, x, 0.125)
+        _timed(run, x, 0.25)
+
+    estimates = []
+    for rnd in range(MAX_ROUNDS):
+        ts, tb = [], []
+        for i in range(REPEATS):
+            salt = 1.0 + 0.1 * i + 10.0 * rnd
+            ts.append(_timed(*small, salt))
+            tb.append(_timed(*big, salt + 0.05))
+        per_set = max(
+            (statistics.median(tb) - statistics.median(ts)) / (B_BIG - B_SMALL), 1e-9
+        )
+        estimates.append(per_set)
+        if len(estimates) >= 2:
+            lo, hi = min(estimates[-2:]), max(estimates[-2:])
+            if hi - lo <= 0.15 * hi:
+                break
+
+    per_set = statistics.median(estimates)
+    sets_per_s = 1.0 / per_set
+    print(
+        json.dumps(
+            {
+                "metric": "array_pipeline_throughput",
+                "value": round(sets_per_s, 4),
+                "unit": "frame_sets/s",
+                "vs_baseline": round(sets_per_s / REF_EST_SETS_PER_S, 1),
+                "ms_per_frame_set": round(per_set * 1e3, 1),
+                "shape": [ROWS * COLS, H, W, PLANES],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

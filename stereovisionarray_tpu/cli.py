@@ -72,6 +72,32 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output", default="out", help="artifact directory")
 
 
+def _probe_report(maps: dict, probes) -> list:
+    """Pixel probes on LIVE pipeline output — the reference's click-to-print
+    mouse callback on its result windows
+    (``/root/reference/src/functions.cpp:220-239``), scriptable: each (u, v)
+    prints every output map's value at that pixel."""
+    out = []
+    for (u, v) in probes or ():
+        row = {"u": int(u), "v": int(v)}
+        for name, arr in maps.items():
+            import numpy as np
+
+            a = np.asarray(arr)
+            if not (0 <= int(v) < a.shape[0] and 0 <= int(u) < a.shape[1]):
+                row[name] = None
+            else:
+                row[name] = a[int(v), int(u)].item()
+        out.append(row)
+    return out
+
+
+def _add_probe(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--probe", type=int, nargs=2, action="append",
+                   metavar=("U", "V"),
+                   help="print live output values at pixel (u, v); repeatable")
+
+
 def _rig_from_config(cfg: EngineConfig, resolution):
     from stereovisionarray_tpu.datasets import reference_rig
 
@@ -171,6 +197,11 @@ def cmd_depth(args) -> int:
 
     result = {"valid_fraction": float(np.asarray(out.valid).mean()),
               "points": int(n_pts), "output": args.output}
+    if args.probe:
+        result["probes"] = _probe_report(
+            {"depth": out.refined_depth, "disparity": out.refined_disparity,
+             "valid": out.valid}, args.probe,
+        )
     gt_path = args.ground_truth or os.path.join(args.input, "ground_truth.npz")
     if os.path.exists(gt_path):
         arrays, _meta = load_array(gt_path)
@@ -214,8 +245,11 @@ def cmd_two_view(args) -> int:
         save_png(os.path.join(args.output, "depth.png"), np.asarray(out.depth))
     save_array(os.path.join(args.output, "two_view.npz"), payload,
                metadata={"config": cfg.to_dict()})
-    print(json.dumps({"valid_fraction": float(np.asarray(out.valid).mean()),
-                      "output": args.output}, sort_keys=True))
+    report = {"valid_fraction": float(np.asarray(out.valid).mean()),
+              "output": args.output}
+    if args.probe:
+        report["probes"] = _probe_report(payload, args.probe)
+    print(json.dumps(report, sort_keys=True))
     return 0
 
 
@@ -409,6 +443,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--half-res", action="store_true",
                    help="0.5x ingest decimation (the reference default)")
     p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
+    _add_probe(p)
     p.set_defaults(fn=cmd_depth)
 
     p = sub.add_parser("two-view", help="rectified pair -> SGM disparity")
@@ -418,6 +453,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--baseline", type=float, help="metric baseline (for depth)")
     p.add_argument("--focal-px", type=float, help="focal length in pixels")
     p.add_argument("--half-res", action="store_true")
+    _add_probe(p)
     p.set_defaults(fn=cmd_two_view)
 
     p = sub.add_parser("calibrate", help="feature + BA array calibration")

@@ -151,6 +151,7 @@ def plane_sweep_volume(
     src_indices: tuple,
     cfg: PlaneSweepConfig = PlaneSweepConfig(),
     shift_pad: int = 0,
+    depths: Optional[jnp.ndarray] = None,
 ) -> tuple:
     """Build the fused (H, W, D) plane-sweep cost volume and the per-plane
     valid-view counts (H, W, D).
@@ -161,12 +162,17 @@ def plane_sweep_volume(
     (H[0,2], H[1,2]) and warping becomes padded dynamic slices + lerp
     (valid for rigs with identical K and R; callers check, see
     ``array_depth_pipeline``). `shift_pad` must bound the largest |shift|.
+    depths: optional explicit (D_local,) plane depths — the plane-sharding
+    hook (parallel/plane_sweep.py): each ``disp`` mesh shard sweeps its own
+    chunk of the inverse-depth samples (planes are independent, so the
+    plane axis shards with NO halo); default = the full cfg sample set.
     """
     dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
     images = images.astype(dtype)
     ref = images[ref_index]
     h, w = ref.shape
-    depths = inverse_depth_samples(cfg.z_near, cfg.z_far, cfg.num_planes, dtype=dtype)
+    if depths is None:
+        depths = inverse_depth_samples(cfg.z_near, cfg.z_far, cfg.num_planes, dtype=dtype)
     src = jnp.asarray(src_indices, dtype=jnp.int32)
     H_all = cameras.fronto_plane_homography(ref_index, src, depths)  # (S, D, 3, 3)
 

@@ -29,6 +29,9 @@ from stereovisionarray_tpu.parallel.two_view import (  # noqa: F401
     sharded_two_view_disparity,
     sharded_wta,
 )
+from stereovisionarray_tpu.parallel.plane_sweep import (  # noqa: F401
+    sharded_plane_sweep_depth,
+)
 from stereovisionarray_tpu.parallel.streaming import (  # noqa: F401
     DevicePipeline,
     StreamExecutor,

@@ -214,6 +214,15 @@ def sharded_two_view_disparity(
             "tile_mode='exact' is implemented for the xla backend (explicit "
             "scan carries); use backend='xla' or tile_mode='halo'"
         )
+    if exact_tiles and n_disp > 1:
+        # path-parallel chunks contain UNEVEN numbers of vertical paths
+        # (e.g. {0,1,2,3} has 2 relays, {4,5,6,7} has 4): disp shards would
+        # execute different collective-permute counts inside lax.switch and
+        # deadlock the mesh. Fold those devices into data/tile instead.
+        raise ValueError(
+            "tile_mode='exact' requires a disp axis of 1 (relay collectives "
+            f"cannot sit inside uneven switch branches; got disp={n_disp})"
+        )
     dtype = jnp.dtype(cost_cfg.dtype)
     integer_costs = jnp.issubdtype(dtype, jnp.integer)
     if use_pallas:
