@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REPO = os.path.normpath(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 OUT = os.path.join(REPO, "SCALING.json")
 
-B, H, W, D = 8, 128, 256, 32
+B, H, W, D = 8, 96, 192, 16
 REPEATS = 3
 
 
@@ -52,7 +52,7 @@ def cpu_mesh_section():
     from stereovisionarray_tpu.parallel.two_view import sharded_two_view_disparity
 
     cost_cfg = CostConfig(num_disparities=D, census_window=(7, 9))
-    sgm_cfg = SGMConfig(p1=8.0, p2=96.0, num_paths=8, adaptive_p2=True)
+    sgm_cfg = SGMConfig(p1=8.0, p2=96.0, num_paths=4, adaptive_p2=False)
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 255, size=(B, H, W + 32)).astype(np.float32)
     left = jnp.asarray(base[..., :W])
@@ -64,7 +64,7 @@ def cpu_mesh_section():
 
         def run():
             out = sharded_two_view_disparity(
-                left, right, mesh, cost_cfg, sgm_cfg, halo=32, backend="xla"
+                left, right, mesh, cost_cfg, sgm_cfg, halo=16, backend="xla"
             )
             return float(jnp.sum(out.disparity))
 
@@ -81,7 +81,7 @@ def cpu_mesh_section():
         row["strong_scaling_efficiency"] = round(t1 / (n * row["wall_s"]), 3)
     return {
         "workload": {"frames": B, "shape": [H, W, D], "mesh": "(n,1,1) data-parallel",
-                     "backend": "xla", "halo": 32},
+                     "backend": "xla", "halo": 16, "num_paths": 4},
         "physical_cores": os.cpu_count(),
         "caveat": "8 virtual devices share 4 physical cores and the XLA CPU "
                   "backend multithreads within a device: efficiency numbers "

@@ -79,6 +79,18 @@ def main():
             left + s, right, D, census_window=(7, 9), bt_weight=0.25, bt_clip=32.0
         ).astype(jnp.int32).sum()
 
+    @stage("cost_census_only")
+    def _cost_nobt(s):
+        return fused_cost_volume_pallas_hdw(
+            left + s, right, D, census_window=(7, 9), bt_weight=0.0, bt_clip=32.0
+        ).astype(jnp.int32).sum()
+
+    @stage("cost_small_census")
+    def _cost_small(s):
+        return fused_cost_volume_pallas_hdw(
+            left + s, right, D, census_window=(5, 5), bt_weight=0.25, bt_clip=32.0
+        ).astype(jnp.int32).sum()
+
     @stage("sweep_down_stacked")
     def _down(s):
         v = vol + s.astype(jnp.int16)
@@ -93,6 +105,27 @@ def main():
     def _tr(s):
         v = vol + s.astype(jnp.int16)
         return jnp.transpose(v, (2, 1, 0)).astype(jnp.int32).sum()
+
+    @stage("transpose_vol_pallas")
+    def _trp(s):
+        from stereovisionarray_tpu.ops.sgm_pallas import transpose_hdw
+
+        v = vol + s.astype(jnp.int16)
+        return transpose_hdw(v).astype(jnp.int32).sum()
+
+    @stage("transpose_add_xla")
+    def _tax(s):
+        v = vol + s.astype(jnp.int16)
+        ht = jnp.transpose(vol, (2, 1, 0)) + s.astype(jnp.int16)
+        return (v + jnp.transpose(ht, (2, 1, 0))).astype(jnp.int32).sum()
+
+    @stage("transpose_add_pallas")
+    def _tap(s):
+        from stereovisionarray_tpu.ops.sgm_pallas import transpose_add_hdw
+
+        v = vol + s.astype(jnp.int16)
+        ht = jnp.transpose(vol, (2, 1, 0)) + s.astype(jnp.int16)
+        return transpose_add_hdw(v, ht).astype(jnp.int32).sum()
 
     @stage("sweep_lr")
     def _lr(s):

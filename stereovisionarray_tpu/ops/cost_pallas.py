@@ -37,13 +37,16 @@ from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
 __all__ = ["fused_cost_volume_pallas_hdw"]
 
 
-def _barrel_back(mat, d_iota, D):
-    """(D, W): shift sublane row d right by d lanes (row d reads x-d),
-    zero-filling — the shifted-in lanes are always masked by x < d."""
+def _barrel_roll(mat, d_iota, D):
+    """(Dext, W): CIRCULAR-shift sublane row d right by d lanes (row d holds
+    x -> src[(x - d) mod W]). Circular (not zero-fill) so the wrapped lanes
+    reproduce the XLA builder's ``jnp.roll`` half-pixel-bound semantics
+    exactly; the x < d region is masked to the worst cost downstream.
+    ``pltpu.roll`` is a native lane rotate (a tail-slice concat at lane
+    W-1 is an invalid Mosaic relayout)."""
     shift = 1
     while shift < D:
-        pad = jnp.zeros_like(mat[:, :shift])
-        shifted = jnp.concatenate([pad, mat[:, :-shift]], axis=1)
+        shifted = pltpu.roll(mat, shift, axis=1)
         take = (d_iota // shift) % 2 == 1
         mat = jnp.where(take, shifted, mat)
         shift *= 2
@@ -51,16 +54,19 @@ def _barrel_back(mat, d_iota, D):
 
 
 def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
-    # refs: [cl_0..cl_{P-1}, cr_0..cr_{P-1}, lt, lmn, lmx, rt, rmn, rmx, out]
+    # refs: [cl_0..cl_{P-1}, cr_0..cr_{P-1}, lt, lmn, lmx, rt, out]
     # Census planes arrive as SEPARATE (rows, W) u32 blocks — a packed
     # (rows, W, P) block would put the size-P axis on the 128-lane dim and
     # blow VMEM up 128/P-fold (measured: scoped-vmem OOM at P=2).
     cl_refs = refs[:n_planes]
     cr_refs = refs[n_planes : 2 * n_planes]
-    lt_ref, lmn_ref, lmx_ref, rt_ref, rmn_ref, rmx_ref, out_ref = refs[2 * n_planes :]
+    lt_ref, lmn_ref, lmx_ref, rt_ref, out_ref = refs[2 * n_planes :]
     D = n_disp
     w = out_ref.shape[-1]
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, w), 0)
+    # one extra sublane row (shift D) so the left-neighbour matrix
+    # up[d] = rs[d+1] exists for d = D-1
+    d_iota_ext = jax.lax.broadcasted_iota(jnp.int32, (D + 1, w), 0)
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (D, w), 1)
     oob = x_iota < d_iota
     worst = float(n_bits) + (bt_weight * bt_clip if bt_weight > 0.0 else 0.0)
@@ -73,7 +79,7 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
         for p in range(n_planes):
             cl = cl_refs[p][r][None, :]  # (1, W) uint32
             cr = cr_refs[p][r][None, :]
-            cr_sh = _barrel_back(jnp.broadcast_to(cr, (D, w)), d_iota, D)
+            cr_sh = _barrel_roll(jnp.broadcast_to(cr, (D, w)), d_iota, D)
             pc = jax.lax.population_count(cl ^ cr_sh).astype(jnp.int32)
             ham = pc if ham is None else ham + pc
 
@@ -82,15 +88,27 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
             lt = lt_ref[r][None, :]  # (1, W) f32
             l_mn = lmn_ref[r][None, :]
             l_mx = lmx_ref[r][None, :]
+            rt = rt_ref[r][None, :]
 
-            def sh(ref):
-                return _barrel_back(
-                    jnp.broadcast_to(ref[r][None, :], (D, w)), d_iota, D
-                )
-
-            rs = sh(rt_ref)
-            rmn = sh(rmn_ref)
-            rmx = sh(rmx_ref)
+            # ONE barrel (D+1 rows) of the right image; the shifted
+            # half-pixel bounds are DERIVED from it by sublane shifts:
+            #   up[d, x] = r[(x-d-1) mod W] = rs_ext[d+1, x]
+            #   dn[d, x] = r[(x-d+1) mod W] = rs_ext[d-1, x] (row -1 = the
+            #       circular left-roll of the raw row)
+            #   rmn[x'] = min(r, lh, rh)[x'] = (r[x'] + min3(r, up, dn)) / 2
+            # which matches the XLA builder's jnp.roll bounds bit-for-bit
+            # (both are circular) — replaces two more full barrels.
+            rs_ext = _barrel_roll(
+                jnp.broadcast_to(rt, (D + 1, w)), d_iota_ext, D + 1
+            )
+            rs = rs_ext[:D]
+            up = rs_ext[1:]
+            dn_row0 = pltpu.roll(rt, w - 1, axis=1)  # left-roll by 1
+            dn = jnp.concatenate([dn_row0, rs_ext[: D - 1]], axis=0)
+            m3mn = jnp.minimum(jnp.minimum(up, dn), rs)
+            m3mx = jnp.maximum(jnp.maximum(up, dn), rs)
+            rmn = 0.5 * (rs + m3mn)
+            rmx = 0.5 * (rs + m3mx)
             d_lr = jnp.maximum(0.0, jnp.maximum(lt - rmx, rmn - lt))
             d_rl = jnp.maximum(0.0, jnp.maximum(rs - l_mx, l_mn - rs))
             bt = jnp.minimum(jnp.minimum(d_lr, d_rl), bt_clip)
@@ -137,8 +155,9 @@ def fused_cost_volume_pallas_hdw(
         return (jnp.minimum(jnp.minimum(lh, rh), img),
                 jnp.maximum(jnp.maximum(lh, rh), img))
 
+    # left bounds precomputed (never shifted); the RIGHT bounds are derived
+    # in-kernel from the shifted right image itself (see _cost_kernel)
     l_mn, l_mx = half_pix_bounds(left)
-    r_mn, r_mx = half_pix_bounds(right)
 
     rows = 8
     nblocks = pl.cdiv(h, rows)
@@ -147,7 +166,7 @@ def fused_cost_volume_pallas_hdw(
     spec_img = lambda: pl.BlockSpec((rows, w), idx2, memory_space=pltpu.VMEM)
     cl_planes = [cl[..., p] for p in range(n_planes)]
     cr_planes = [cr[..., p] for p in range(n_planes)]
-    operands = [*cl_planes, *cr_planes, left, l_mn, l_mx, right, r_mn, r_mx]
+    operands = [*cl_planes, *cr_planes, left, l_mn, l_mx, right]
     return pl.pallas_call(
         functools.partial(
             _cost_kernel, rows=rows, n_disp=num_disparities,

@@ -108,7 +108,8 @@ def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, *, rows, n_disp,
     D = n_disp
     compute_dtype = jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
     for r in range(rows):
-        a = vol_ref[r].astype(compute_dtype)  # (D, W)
+        a16 = vol_ref[r]  # (D, W) in the VOLUME dtype (int16 on the fast path)
+        a = a16.astype(compute_dtype)  # reductions need >= i32 (Mosaic)
         d_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
         cmin, d_int, d_c, cm, c0, cp, second = _wta_row(a, d_iota, D)
         d_sub = (
@@ -123,8 +124,12 @@ def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, *, rows, n_disp,
         if uniqueness > 0.0:
             ok &= cmin.astype(jnp.float32) < uniqueness * second.astype(jnp.float32)
         if lr_max_diff > 0.0:
-            # right-view volume rows: a_r[d, x] = a[d, x + d]
-            ar = _barrel(a, d_iota, D, left=True, fill=_big_for(a.dtype))
+            # right-view volume rows: a_r[d, x] = a[d, x + d]. The barrel is
+            # pure shifts+selects (no reductions), so it runs on the NARROW
+            # volume dtype — half the VPU slots for int16 volumes — and
+            # upcasts only for the reduce-based WTA that follows.
+            ar = _barrel(a16, d_iota, D, left=True,
+                         fill=_big_for(a16.dtype)).astype(compute_dtype)
             _, dr_int, dr_c, rm, r0, rp, _ = _wta_row(ar, d_iota, D)
             dr_sub = (
                 _subpixel(dr_int, dr_c, rm, r0, rp, D, a.dtype)

@@ -43,26 +43,25 @@ from stereovisionarray_tpu.parallel.mesh import AXIS_DATA, AXIS_DISP, AXIS_TILE
 from stereovisionarray_tpu.parallel.two_view import _split_paths
 
 
-def sharded_plane_sweep_depth(
-    images: jnp.ndarray,
-    cameras: CameraArray,
+@functools.lru_cache(maxsize=32)
+def _plane_sweep_program(
+    mesh: Mesh,
     ref_index: int,
     src_indices: tuple,
-    mesh: Mesh,
-    cfg: PlaneSweepConfig = PlaneSweepConfig(),
-    sgm_cfg: Optional[SGMConfig] = SGMConfig(lr_max_diff=0.0),
-    min_views: int = 2,
-    shift_pad: int = 0,
-) -> PlaneSweepOutput:
-    """Batched, mesh-sharded ``models.plane_sweep.plane_sweep_depth``.
-
-    images: (B, N, H, W) frame-sets; B divisible by the data axis,
-    cfg.num_planes by the disp axis; the disp axis must divide
-    sgm_cfg.num_paths (or sgm_cfg be None); tile axis must be 1.
-
-    Returns PlaneSweepOutput of (B, H, W) maps sharded along data.
-    """
-    B, N, H, W = images.shape
+    cfg: PlaneSweepConfig,
+    sgm_cfg: Optional[SGMConfig],
+    min_views: int,
+    shift_pad: int,
+    B: int,
+    N: int,
+    H: int,
+    W: int,
+):
+    """Build (and cache) the jitted shard_map program — a fresh shard_map
+    closure per call would re-trace and re-compile every invocation (see
+    ``parallel.two_view._two_view_program``). Cameras are a runtime
+    argument (replicated pytree), not a cache key — jnp leaves aren't
+    hashable and shouldn't bust the cache anyway."""
     n_data = mesh.shape[AXIS_DATA]
     n_tile = mesh.shape[AXIS_TILE]
     n_disp = mesh.shape[AXIS_DISP]
@@ -86,7 +85,7 @@ def sharded_plane_sweep_depth(
     inv_far = 1.0 / cfg.z_far
     step = (inv_far - inv_near) / max(D - 1, 1)
 
-    def _one_set(imgs: jnp.ndarray, disp_idx) -> tuple:
+    def _one_set(imgs: jnp.ndarray, cameras, disp_idx) -> tuple:
         # imgs: (N, H, W) one frame-set, replicated over the disp axis
         depths_all = inverse_depth_samples(cfg.z_near, cfg.z_far, D, dtype=imgs.dtype)
         depths_loc = lax.dynamic_slice(depths_all, (disp_idx * d_local,), (d_local,))
@@ -124,23 +123,53 @@ def sharded_plane_sweep_depth(
         depth = jnp.where(valid, depth, 0.0)
         return depth, k, cost, valid, views_at_win
 
-    def _local(imgs: jnp.ndarray) -> tuple:
+    def _local(imgs: jnp.ndarray, cameras) -> tuple:
         disp_idx = lax.axis_index(AXIS_DISP)
-        return jax.vmap(lambda x: _one_set(x, disp_idx))(imgs)
+        return jax.vmap(lambda x: _one_set(x, cameras, disp_idx))(imgs)
 
     spec_in = P(AXIS_DATA, None, None, None)
     spec_out = P(AXIS_DATA, None, None)
     sharded = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(spec_in,),
+        in_specs=(spec_in, P()),  # cameras: replicated pytree
         out_specs=(spec_out,) * 5,
         check_vma=False,
+    )
+    return jax.jit(sharded), spec_in
+
+
+def sharded_plane_sweep_depth(
+    images: jnp.ndarray,
+    cameras: CameraArray,
+    ref_index: int,
+    src_indices: tuple,
+    mesh: Mesh,
+    cfg: PlaneSweepConfig = PlaneSweepConfig(),
+    sgm_cfg: Optional[SGMConfig] = SGMConfig(lr_max_diff=0.0),
+    min_views: int = 2,
+    shift_pad: int = 0,
+) -> PlaneSweepOutput:
+    """Batched, mesh-sharded ``models.plane_sweep.plane_sweep_depth``.
+
+    images: (B, N, H, W) frame-sets; B divisible by the data axis,
+    cfg.num_planes by the disp axis; the disp axis must divide
+    sgm_cfg.num_paths (or sgm_cfg be None); tile axis must be 1.
+
+    The compiled program is cached per (mesh, configs, shapes); repeat
+    calls skip tracing entirely (cameras are a runtime argument).
+
+    Returns PlaneSweepOutput of (B, H, W) maps sharded along data.
+    """
+    B, N, H, W = images.shape
+    program, spec_in = _plane_sweep_program(
+        mesh, ref_index, tuple(src_indices), cfg, sgm_cfg,
+        int(min_views), int(shift_pad), B, N, H, W,
     )
     images = jax.device_put(
         images.astype(jnp.float32), NamedSharding(mesh, spec_in)
     )
-    depth, k, cost, valid, nviews = sharded(images)
+    depth, k, cost, valid, nviews = program(images, cameras)
     return PlaneSweepOutput(
         depth=depth, plane=k, cost=cost, valid=valid, num_views=nviews
     )

@@ -160,39 +160,26 @@ def _sgm_aggregate_exact(vol, p2_y, p2_x, p1, path_ids, n_tile):
     return total
 
 
-def sharded_two_view_disparity(
-    left: jnp.ndarray,
-    right: jnp.ndarray,
+@functools.lru_cache(maxsize=64)
+def _two_view_program(
     mesh: Mesh,
-    cost_cfg: CostConfig = CostConfig(),
-    sgm_cfg: SGMConfig = SGMConfig(),
-    halo: int = 48,
-    mask: Optional[jnp.ndarray] = None,
-    baseline: Optional[float] = None,
-    focal_px: Optional[float] = None,
-    backend: str = "auto",
-    tile_mode: str = "halo",
-) -> TwoViewOutput:
-    """Batched, mesh-sharded version of ``models.two_view.two_view_disparity``.
+    cost_cfg: CostConfig,
+    sgm_cfg: SGMConfig,
+    halo: int,
+    resolved: str,
+    tile_mode: str,
+    B: int,
+    H: int,
+    W: int,
+):
+    """Build (and cache) the jitted shard_map program for one
+    (mesh, configs, shapes) combination.
 
-    left/right: (B, H, W) with B divisible by the data axis and H by the
-    tile axis; the D axis (cost_cfg.num_disparities) must be divisible by
-    the disp axis, and the disp axis must divide sgm_cfg.num_paths (xla
-    backend) / be in {1, 2, 4} (pallas backend, sweep granularity).
-
-    tile_mode: how vertical SGM paths handle the tile-shard boundary —
-      "halo"  (default): truncate path history at `halo` exchanged rows; an
-              approximation that scales linearly (the SGM recurrence forgets
-              its carry geometrically, so a few dozen rows suffice in
-              practice — see tests);
-      "exact": relay the (W, D) wavefront between shards via a sequential
-              ppermute chain (:func:`_relay_scan`) — bit-identical to the
-              unsharded result at ANY tile count, at the cost of the
-              vertical sweeps serializing across shards (xla backend only).
-
-    Returns a TwoViewOutput of (B, H, W) maps, sharded (data, tile).
-    """
-    B, H, W = left.shape
+    Rebuilding the shard_map closure per call would RE-TRACE AND RE-COMPILE
+    on every invocation (a fresh Python callable defeats jax's jit cache) —
+    measured minutes per call on the CPU mesh. The cache key is all static
+    configuration; the returned program takes already-sharded (left, right)
+    and returns (disparity, valid, cost)."""
     n_data = mesh.shape[AXIS_DATA]
     n_tile = mesh.shape[AXIS_TILE]
     n_disp = mesh.shape[AXIS_DISP]
@@ -203,11 +190,8 @@ def sharded_two_view_disparity(
             f"({n_data}, {n_tile}, {n_disp})"
         )
     d_local = D // n_disp
-    resolved = _resolve_parallel_backend(backend)
     use_pallas = resolved in ("pallas", "pallas_interpret")
     interpret = resolved == "pallas_interpret"
-    if tile_mode not in ("halo", "exact"):
-        raise ValueError(f"unknown tile_mode {tile_mode!r}")
     exact_tiles = tile_mode == "exact" and n_tile > 1
     if exact_tiles and use_pallas:
         raise ValueError(
@@ -427,9 +411,54 @@ def sharded_two_view_disparity(
         check_vma=False,
     )
     img_dtype = jnp.float32 if integer_costs else dtype
+    return jax.jit(sharded), img_dtype, spec_in
+
+
+def sharded_two_view_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    mesh: Mesh,
+    cost_cfg: CostConfig = CostConfig(),
+    sgm_cfg: SGMConfig = SGMConfig(),
+    halo: int = 48,
+    mask: Optional[jnp.ndarray] = None,
+    baseline: Optional[float] = None,
+    focal_px: Optional[float] = None,
+    backend: str = "auto",
+    tile_mode: str = "halo",
+) -> TwoViewOutput:
+    """Batched, mesh-sharded version of ``models.two_view.two_view_disparity``.
+
+    left/right: (B, H, W) with B divisible by the data axis and H by the
+    tile axis; the D axis (cost_cfg.num_disparities) must be divisible by
+    the disp axis, and the disp axis must divide sgm_cfg.num_paths (xla
+    backend) / be in {1, 2, 4} (pallas backend, sweep granularity).
+
+    tile_mode: how vertical SGM paths handle the tile-shard boundary —
+      "halo"  (default): truncate path history at `halo` exchanged rows; an
+              approximation that scales linearly (the SGM recurrence forgets
+              its carry geometrically, so a few dozen rows suffice in
+              practice — see tests);
+      "exact": relay the (W, D) wavefront between shards via a sequential
+              ppermute chain (:func:`_relay_scan`) — bit-identical to the
+              unsharded result at ANY tile count, at the cost of the
+              vertical sweeps serializing across shards (xla backend only).
+
+    The compiled program is cached per (mesh, configs, shapes) — repeat
+    calls skip tracing entirely (:func:`_two_view_program`).
+
+    Returns a TwoViewOutput of (B, H, W) maps, sharded (data, tile).
+    """
+    B, H, W = left.shape
+    if tile_mode not in ("halo", "exact"):
+        raise ValueError(f"unknown tile_mode {tile_mode!r}")
+    resolved = _resolve_parallel_backend(backend)
+    program, img_dtype, spec_in = _two_view_program(
+        mesh, cost_cfg, sgm_cfg, int(halo), resolved, tile_mode, B, H, W
+    )
     left = jax.device_put(left.astype(img_dtype), NamedSharding(mesh, spec_in))
     right = jax.device_put(right.astype(img_dtype), NamedSharding(mesh, spec_in))
-    disp, valid, cost = sharded(left, right)
+    disp, valid, cost = program(left, right)
     if mask is not None:
         valid = valid & mask
         disp = jnp.where(valid, disp, -1.0)

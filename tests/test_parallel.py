@@ -86,7 +86,10 @@ class TestShardedTwoView:
         _, close = self._run(rng, mesh_shape, halo)
         assert close > bound, f"within-0.5px {close} on mesh {mesh_shape}"
 
-    @pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (2, 4, 1), (2, 2, 2)])
+    # (2,2,2) exercises all three axes at once; (1,2,4) the max disp split.
+    # Interpret-mode pallas inside shard_map costs ~90 s/case — keep the set
+    # minimal but axis-covering.
+    @pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (2, 2, 2)])
     def test_pallas_backend_matches_single_chip(self, rng, mesh_shape):
         """The int16 Pallas fast path under shard_map (sweep-granularity path
         parallelism + fused extraction) must reproduce the single-chip Pallas
