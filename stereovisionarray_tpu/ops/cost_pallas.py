@@ -37,20 +37,31 @@ from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
 __all__ = ["fused_cost_volume_pallas_hdw"]
 
 
-def _barrel_roll(mat, d_iota, D):
-    """(Dext, W): CIRCULAR-shift sublane row d right by d lanes (row d holds
-    x -> src[(x - d) mod W]). Circular (not zero-fill) so the wrapped lanes
+def _shifted_rows(row, n_rows, w):
+    """(n_rows, W) from a (1, W) row: out[d, x] = row[(x - d) mod W].
+
+    Builds an 8-row base barrel (3 roll+select steps on (8, W)) and then
+    DOUBLES it log-style — rows n..2n-1 are one circular roll of rows
+    0..n-1 by n (roll composition: roll(roll(r, d), n) = roll(r, d + n)) —
+    instead of rolling the full (D, W) slab log2(D) times. ~5x fewer VPU
+    slot-ops than the full-slab barrel (measured: cost_build 1.47 ->
+    see CLAUDE.md). Circular (not zero-fill) so the wrapped lanes
     reproduce the XLA builder's ``jnp.roll`` half-pixel-bound semantics
     exactly; the x < d region is masked to the worst cost downstream.
     ``pltpu.roll`` is a native lane rotate (a tail-slice concat at lane
     W-1 is an invalid Mosaic relayout)."""
+    base = jnp.broadcast_to(row, (min(8, n_rows) if n_rows < 8 else 8, w))
+    d8 = jax.lax.broadcasted_iota(jnp.int32, base.shape, 0)
     shift = 1
-    while shift < D:
-        shifted = pltpu.roll(mat, shift, axis=1)
-        take = (d_iota // shift) % 2 == 1
-        mat = jnp.where(take, shifted, mat)
+    while shift < base.shape[0]:
+        shifted = pltpu.roll(base, shift, axis=1)
+        base = jnp.where((d8 // shift) % 2 == 1, shifted, base)
         shift *= 2
-    return mat
+    s, n = base, base.shape[0]
+    while n < n_rows:
+        s = jnp.concatenate([s, pltpu.roll(s, n, axis=1)], axis=0)
+        n *= 2
+    return s[:n_rows] if s.shape[0] != n_rows else s
 
 
 def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
@@ -64,9 +75,6 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
     D = n_disp
     w = out_ref.shape[-1]
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, w), 0)
-    # one extra sublane row (shift D) so the left-neighbour matrix
-    # up[d] = rs[d+1] exists for d = D-1
-    d_iota_ext = jax.lax.broadcasted_iota(jnp.int32, (D + 1, w), 0)
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (D, w), 1)
     oob = x_iota < d_iota
     worst = float(n_bits) + (bt_weight * bt_clip if bt_weight > 0.0 else 0.0)
@@ -79,7 +87,7 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
         for p in range(n_planes):
             cl = cl_refs[p][r][None, :]  # (1, W) uint32
             cr = cr_refs[p][r][None, :]
-            cr_sh = _barrel_roll(jnp.broadcast_to(cr, (D, w)), d_iota, D)
+            cr_sh = _shifted_rows(cr, D, w)
             pc = jax.lax.population_count(cl ^ cr_sh).astype(jnp.int32)
             ham = pc if ham is None else ham + pc
 
@@ -98,9 +106,9 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
             #   rmn[x'] = min(r, lh, rh)[x'] = (r[x'] + min3(r, up, dn)) / 2
             # which matches the XLA builder's jnp.roll bounds bit-for-bit
             # (both are circular) — replaces two more full barrels.
-            rs_ext = _barrel_roll(
-                jnp.broadcast_to(rt, (D + 1, w)), d_iota_ext, D + 1
-            )
+            # one extra sublane row (shift D) so the left-neighbour matrix
+            # up[d] = rs[d+1] exists for d = D-1
+            rs_ext = _shifted_rows(rt, D + 1, w)
             rs = rs_ext[:D]
             up = rs_ext[1:]
             dn_row0 = pltpu.roll(rt, w - 1, axis=1)  # left-roll by 1
