@@ -52,14 +52,31 @@ def _big_for(dtype):
 
 def _wta_row(a, d_iota, D):
     """(D, W) row -> (1, W) each of: min cost, int winner, clamped winner,
-    c_minus/c0/c_plus parabola samples, second-best outside winner±1."""
+    c_minus/c0/c_plus parabola samples, second-best outside winner±1.
+
+    Integer volumes take the PACKED path: one min over ``cost << lg | d``
+    yields min cost AND its smallest-d argmin in a single reduce (SGM
+    aggregates are non-negative and << 2^25, so the pack is exact in i32),
+    replacing the min + masked-argmin-min pair; the three parabola samples
+    share ONE one-hot (``d == d_c``) applied to sublane-shifted copies of
+    ``a`` instead of three separate iota compares."""
     zero = jnp.zeros((), a.dtype)
-    cmin = jnp.min(a, axis=0, keepdims=True)  # (1, W)
-    d_int = jnp.min(jnp.where(a == cmin, d_iota, D), axis=0, keepdims=True)
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        lg = (D - 1).bit_length()
+        packed = (a << lg) | d_iota
+        pmin = jnp.min(packed, axis=0, keepdims=True)
+        cmin = pmin >> lg
+        d_int = pmin & ((1 << lg) - 1)
+    else:
+        cmin = jnp.min(a, axis=0, keepdims=True)  # (1, W)
+        d_int = jnp.min(jnp.where(a == cmin, d_iota, D), axis=0, keepdims=True)
     d_c = jnp.clip(d_int, 1, D - 2)
-    cm = jnp.sum(jnp.where(d_iota == d_c - 1, a, zero), axis=0, keepdims=True)
-    c0 = jnp.sum(jnp.where(d_iota == d_c, a, zero), axis=0, keepdims=True)
-    cp = jnp.sum(jnp.where(d_iota == d_c + 1, a, zero), axis=0, keepdims=True)
+    sel = d_iota == d_c
+    a_dn = jnp.concatenate([a[:1], a[:-1]], axis=0)  # row 0 dead: d_c >= 1
+    a_up = jnp.concatenate([a[1:], a[-1:]], axis=0)  # row D-1 dead: d_c <= D-2
+    cm = jnp.sum(jnp.where(sel, a_dn, zero), axis=0, keepdims=True)
+    c0 = jnp.sum(jnp.where(sel, a, zero), axis=0, keepdims=True)
+    cp = jnp.sum(jnp.where(sel, a_up, zero), axis=0, keepdims=True)
     second = jnp.min(
         jnp.where(jnp.abs(d_iota - d_int) <= 1,
                   jnp.asarray(_big_for(a.dtype), a.dtype), a),
@@ -103,6 +120,33 @@ def _barrel(mat, d_iota, D, left: bool, fill):
     return mat
 
 
+def _barrel_broadcast(row, D, w, left: bool, fill):
+    """Shifted-row slab from ONE (1, W) row: out[d, x] = row[x+d] (left)
+    or row[x-d], `fill` outside. An 8-row base barrel + log-doubling
+    (rows n..2n-1 are rows 0..n-1 shifted n further — fill-shifts compose
+    just like the circular rolls in cost_pallas._shifted_rows), ~5x fewer
+    slot-ops than barreling the full broadcast (D, W) slab."""
+    fill = jnp.asarray(fill, row.dtype)
+    base = jnp.broadcast_to(row, (min(8, D), w))
+    d8 = jax.lax.broadcasted_iota(jnp.int32, base.shape, 0)
+
+    def sh(m, s):
+        pad = jnp.full((m.shape[0], s), fill, m.dtype)
+        if left:
+            return jnp.concatenate([m[:, s:], pad], axis=1)
+        return jnp.concatenate([pad, m[:, :-s]], axis=1)
+
+    shift = 1
+    while shift < base.shape[0]:
+        base = jnp.where((d8 // shift) % 2 == 1, sh(base, shift), base)
+        shift *= 2
+    out, n = base, base.shape[0]
+    while n < D:
+        out = jnp.concatenate([out, sh(out, n)], axis=0)
+        n *= 2
+    return out[:D] if out.shape[0] != D else out
+
+
 def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, *, rows, n_disp,
                     subpixel, uniqueness, lr_max_diff):
     D = n_disp
@@ -137,8 +181,8 @@ def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, *, rows, n_disp,
                 else dr_int.astype(jnp.float32)
             )
             # LR gather: R2[d, x] = d_R(x - d); pick row d = round(d_L(x))
-            dr_b = jnp.broadcast_to(dr_sub, a.shape)
-            r2 = _barrel(dr_b, d_iota, D, left=False, fill=_BIG)
+            r2 = _barrel_broadcast(dr_sub, D, a.shape[1], left=False,
+                                   fill=_BIG)
             dl_int = jnp.clip(
                 jnp.round(d_sub).astype(jnp.int32), 0, D - 1
             )  # (1, W)

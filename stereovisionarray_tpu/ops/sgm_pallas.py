@@ -242,7 +242,7 @@ def _carry_dtype(dtype):
     return jnp.int32 if jnp.dtype(dtype) == jnp.int16 else dtype
 
 
-def _block_rows(s: int, target: int = 8) -> int:
+def _block_rows(s: int, target: int = 12) -> int:
     for r in range(min(target, s), 0, -1):
         if s % r == 0:
             return r
