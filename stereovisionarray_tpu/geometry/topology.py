@@ -37,6 +37,18 @@ class PairTopology(enum.Enum):
     CROSS = "cross"
     JUMP_CROSS = "jump_cross"
 
+    @classmethod
+    def _missing_(cls, value):
+        # accept enum NAMES and any case ("CROSS", "Cross") — config files
+        # and CLI flags naturally use the reference's upper-case spelling
+        # (/root/reference/include/functions.h:8-19)
+        if isinstance(value, str):
+            low = value.lower()
+            for member in cls:
+                if member.value == low:
+                    return member
+        return None
+
 
 def _grid_center(rows: int, cols: int) -> int:
     return (rows // 2) * cols + (cols // 2)

@@ -164,6 +164,16 @@ class TestTopology:
         assert sorted(p[:, 1].tolist()) == [1, 5]
         assert np.all(p[:, 0] == 0)
 
+    def test_topology_case_insensitive(self):
+        """Config files/CLI use the reference's upper-case spellings
+        (functions.h:8-19); the enum must accept them (bench_array.py
+        passes topology="CROSS")."""
+        assert PairTopology("CROSS") is PairTopology.CROSS
+        assert PairTopology("Jump_Cross") is PairTopology.JUMP_CROSS
+        assert PairTopology("to_center") is PairTopology.TO_CENTER
+        with pytest.raises(ValueError):
+            PairTopology("not_a_topology")
+
     def test_chess_groups(self):
         groups = pair_groups("CHESS")
         assert len(groups) == 13  # even indices 0..24
