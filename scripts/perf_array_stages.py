@@ -103,12 +103,17 @@ def main():
                                 cfg.plane_sweep, cfg.sgm, shift_pad=pad)
         return jnp.sum(out.depth)
 
+    d_ceiling = f_px * b0 / cfg.plane_sweep.z_near + abs(
+        cfg.refine.radius * cfg.refine.step
+    )
+
     @stage("refine")
     def _ref(s):
         out = multiview_refine(
-            images[ref_index] + s, src_imgs, jnp.asarray(baselines), disp0,
+            images[ref_index] + s, src_imgs, baselines, disp0,
             mask=sweep0.valid, radius=cfg.refine.radius, step=cfg.refine.step,
-            window=cfg.refine.window, subpixel=cfg.refine.subpixel)
+            window=cfg.refine.window, subpixel=cfg.refine.subpixel,
+            max_disparity=d_ceiling)
         return jnp.sum(out.disparity)
 
     @stage("full_pipeline")

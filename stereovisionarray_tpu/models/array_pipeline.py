@@ -47,7 +47,12 @@ def _shift_warp_pad(cameras, ref_index, src_indices, cfg) -> int:
     eye = np.broadcast_to(np.eye(3, dtype=R.dtype), R.shape)
     if not np.allclose(R, eye, atol=1e-6):
         return 0
-    centers = np.asarray(cameras.centers)
+    # centers computed in numpy from the raw fields (NOT cameras.centers —
+    # that property is a jnp einsum, which under a jit trace returns a
+    # tracer even for closure-constant cameras and breaks this host-side
+    # computation; the fields themselves stay concrete)
+    t = np.asarray(cameras.t)
+    centers = -np.einsum("nji,nj->ni", R, t)
     idx = [ref_index, *src_indices]
     if not np.allclose(centers[idx, 2], centers[ref_index, 2], atol=1e-9):
         return 0  # differing z -> homography has a scale term
@@ -98,7 +103,9 @@ def array_baselines(
 
     Returns (baselines_uv (V, 2) float32, B0 mean metric baseline).
     """
-    centers = np.asarray(cameras.centers)
+    # numpy from raw fields (cameras.centers is a jnp einsum — a tracer
+    # under jit; see _shift_warp_pad)
+    centers = -np.einsum("nji,nj->ni", np.asarray(cameras.R), np.asarray(cameras.t))
     ref_c = centers[ref_index]
     rel = ref_c[None, :2] - centers[list(src_indices), :2]  # (V, 2)
     b_len = np.linalg.norm(rel, axis=-1)
@@ -169,22 +176,28 @@ def array_depth_pipeline(
 
     # ---- multi-view photoconsistency refinement in disparity space ---- #
     baselines, b0 = array_baselines(cameras, ref_index, src_indices)
-    f_px = float(np.asarray(jnp.broadcast_to(cameras.fx, (n,)))[ref_index])
+    f_px = float(np.broadcast_to(np.asarray(cameras.fx), (n,))[ref_index])
     disparity = depth_to_disparity(sweep.depth, b0, f_px)
 
     refined_disparity = disparity
     rcfg = cfg.refine
+    # static disparity ceiling for the candidate-stack warp: the sweep's
+    # nearest plane plus the worst-case accumulated refinement offsets
+    d_ceiling = f_px * b0 / cfg.plane_sweep.z_near + abs(
+        rcfg.radius * rcfg.step
+    ) * max(rcfg.iterations, 1)
     for _ in range(max(rcfg.iterations, 0)):
         out = multiview_refine(
             images[ref_index],
             images[jnp.asarray(src_indices)],
-            jnp.asarray(baselines),
+            baselines,  # host numpy -> enables the static candidate-stack path
             refined_disparity,
             mask=mask & sweep.valid,
             radius=rcfg.radius,
             step=rcfg.step,
             window=rcfg.window,
             subpixel=rcfg.subpixel,
+            max_disparity=d_ceiling,
         )
         refined_disparity = out.disparity
 

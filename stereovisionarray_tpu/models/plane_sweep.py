@@ -110,10 +110,42 @@ def _fuse_views(
         return jnp.sum(jnp.where(valids, costs, 0.0), axis=0) / n
     if cfg.fusion == "topk_mean":
         k = min(cfg.topk, costs.shape[0])
+        if k == costs.shape[0]:
+            # top-k of all views is a plain mean — skip the TPU-expensive
+            # sort network of lax.top_k entirely
+            return jnp.mean(costs, axis=0)
         # k smallest = -(k largest of negated)
         top = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]  # (H, W, k)
         return jnp.mean(top, axis=-1)
     raise ValueError(f"unknown fusion {cfg.fusion!r}")
+
+
+def _chunked_plane_map(per_plane, plane_args: jnp.ndarray, chunk: int):
+    """lax.map over planes in vmapped chunks.
+
+    One plane of work here is ~30 small ops on a (270, 360)-class image —
+    per-kernel dispatch overhead dominates when lax.map runs them one plane
+    at a time (measured 50 ms for 128 planes x 4 views on a v5e). Mapping
+    over chunks of `chunk` planes with an inner vmap turns every op into a
+    chunk-deep fused kernel: same peak-memory bound (one (chunk, S, H, W)
+    warp stack) at a fraction of the dispatch count. The plane count is
+    padded to a chunk multiple by repeating the last plane; the pad is
+    sliced off after.
+    """
+    d = plane_args.shape[0]
+    chunk = max(1, min(chunk, d))
+    n_chunks = -(-d // chunk)
+    pad = n_chunks * chunk - d
+    if pad:
+        plane_args = jnp.concatenate(
+            [plane_args, jnp.repeat(plane_args[-1:], pad, axis=0)], axis=0
+        )
+    chunked = plane_args.reshape((n_chunks, chunk) + plane_args.shape[1:])
+    outs = jax.lax.map(jax.vmap(per_plane), chunked)
+    outs = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:d], outs
+    )
+    return outs
 
 
 def _shift_warp(padded: jnp.ndarray, su, sv, h: int, w: int, pad: int):
@@ -206,7 +238,9 @@ def plane_sweep_volume(
             fused = _fuse_views(costs, ok, ceiling, cfg)
             return fused, jnp.sum(ok, axis=0).astype(jnp.int32)
 
-        fused, nviews = jax.lax.map(per_plane, jnp.swapaxes(shifts, 0, 1))
+        fused, nviews = _chunked_plane_map(
+            per_plane, jnp.swapaxes(shifts, 0, 1), cfg.plane_chunk
+        )
     else:
         def per_plane(Hs_d):
             # Hs_d: (S, 3, 3) homographies of every source view for this plane
@@ -219,8 +253,11 @@ def plane_sweep_volume(
             fused = _fuse_views(costs, ok, ceiling, cfg)
             return fused, jnp.sum(ok, axis=0).astype(jnp.int32)
 
-        # lax.map over planes bounds peak memory at one (S, H, W) warp stack
-        fused, nviews = jax.lax.map(per_plane, jnp.swapaxes(H_all, 0, 1))  # (D, H, W)
+        # chunked map over planes bounds peak memory at one (chunk, S, H, W)
+        # warp stack while amortizing kernel dispatch across the chunk
+        fused, nviews = _chunked_plane_map(
+            per_plane, jnp.swapaxes(H_all, 0, 1), cfg.plane_chunk
+        )  # (D, H, W)
     vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)
     nv = jnp.moveaxis(nviews, 0, -1)
     return vol, nv, depths

@@ -90,6 +90,37 @@ def _uniform_shift(img: jnp.ndarray, su, sv, pad: int, fill: float = 0.0):
     return top * (1.0 - fv) + bot * fv
 
 
+def _static_shift(padded: jnp.ndarray, su: float, sv: float, pad: int,
+                  h: int, w: int) -> jnp.ndarray:
+    """Sample a `pad`-padded (H+2p, W+2p) image at the STATIC subpixel shift
+    (su, sv) — pure ``lax.slice`` + lerp. Unlike ``_uniform_shift`` (dynamic
+    starts), a static shift stays a fused full-bandwidth copy even inside a
+    vmap/loop (vmapping ``dynamic_slice`` over traced starts lowers to a
+    serialized gather on TPU)."""
+    j0 = int(np.floor(sv))
+    i0 = int(np.floor(su))
+    fv = float(sv - j0)
+    fu = float(su - i0)
+    y0 = pad + j0
+    x0 = pad + i0
+
+    def sl(dy, dx):
+        return jax.lax.slice(padded, (y0 + dy, x0 + dx), (y0 + dy + h, x0 + dx + w))
+
+    if fu == 0.0 and fv == 0.0:
+        return sl(0, 0)
+    top = sl(0, 0) * (1.0 - fu) + sl(0, 1) * fu
+    bot = sl(1, 0) * (1.0 - fu) + sl(1, 1) * fu
+    return top * (1.0 - fv) + bot * fv
+
+
+def _concrete_baselines(baselines_uv) -> Optional[np.ndarray]:
+    """Host-side (V, 2) numpy baselines, or None when traced."""
+    if isinstance(baselines_uv, jax.core.Tracer):
+        return None
+    return np.asarray(baselines_uv, dtype=np.float64)
+
+
 def multiview_refine(
     reference: jnp.ndarray,
     aux_images: jnp.ndarray,
@@ -101,6 +132,7 @@ def multiview_refine(
     window: int = 21,
     subpixel: bool = True,
     exact_warp: bool = False,
+    max_disparity: Optional[float] = None,
 ) -> RefineOutput:
     """Refine `disparity` against N auxiliary views.
 
@@ -135,6 +167,74 @@ def multiview_refine(
     v_views = aux_images.shape[0]
     num = 2 * radius + 1
     offsets = (jnp.arange(num, dtype=reference.dtype) - radius) * step
+
+    bl = None if exact_warp else _concrete_baselines(baselines_uv)
+    if bl is not None and max_disparity is not None and max_disparity > 0:
+        # ---- static candidate-stack path (the TPU fast path) ---------- #
+        # Baseline directions are host constants, so every candidate warp
+        # position s (integer pixel steps along the epipolar line) is a
+        # STATIC subpixel shift: build the (K, H, W) candidate stack with
+        # fused lax.slice copies — zero gathers — then reconstruct the warp
+        # at disparity d+delta per pixel as the hat-weight (linear) blend of
+        # the two bracketing candidates. For axis-aligned baselines this
+        # equals the literal per-offset bilinear warp (exact_warp) — it
+        # REPLACES the warp-once approximation, faster and more accurate
+        # (the gather-based warp measured ~20 of the array pipeline's
+        # 78 ms/frame-set; this path is elementwise + static slices).
+        h, w = reference.shape
+        off_hi = abs(radius * step)
+        u_iota = jax.lax.broadcasted_iota(reference.dtype, (h, w), 1)
+        v_iota = jax.lax.broadcasted_iota(reference.dtype, (h, w), 0)
+
+        stacks = []
+        for v in range(v_views):
+            bu, bv = float(bl[v, 0]), float(bl[v, 1])
+            blen = float(np.hypot(bu, bv))
+            ux, uy = bu / blen, bv / blen
+            s_lo = int(np.floor(-off_hi * blen))
+            s_hi = int(np.ceil((max_disparity + off_hi) * blen))
+            pad_v = int(np.ceil(max(abs(s_lo), abs(s_hi)) * max(abs(ux), abs(uy)))) + 2
+            padded = jnp.pad(aux_images[v], pad_v)
+            stack = jnp.stack(
+                [
+                    _static_shift(padded, s * ux, s * uy, pad_v, h, w)
+                    for s in range(s_lo, s_hi + 1)
+                ]
+            )
+            svals = jnp.arange(s_lo, s_hi + 1, dtype=reference.dtype)
+            stacks.append((stack, svals, s_lo, s_hi, blen, bu, bv))
+
+        def offset_cost(delta: float):
+            diffs, oks = [], []
+            for v in range(v_views):
+                stack, svals, s_lo, s_hi, blen, bu, bv = stacks[v]
+                d_new = disparity + delta
+                t = jnp.clip(d_new * blen, s_lo, s_hi)
+                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(t[None] - svals[:, None, None]))
+                warped = jnp.sum(wgt * stack, axis=0)
+                ok = (
+                    (u_iota + d_new * bu >= 0.0)
+                    & (u_iota + d_new * bu <= w - 1.0)
+                    & (v_iota + d_new * bv >= 0.0)
+                    & (v_iota + d_new * bv <= h - 1.0)
+                )
+                diffs.append(jnp.where(ok, jnp.abs(reference - warped), 0.0))
+                oks.append(ok)
+            diff = jnp.stack(diffs)  # (V, H, W)
+            okf = jnp.stack(oks).astype(reference.dtype)
+            c = box_filter2d(diff, window)
+            n_box = box_filter2d(okf, window)
+            total_c = c.sum(axis=0)
+            total_n = n_box.sum(axis=0)
+            fused = total_c / jnp.maximum(total_n, 1.0)
+            return jnp.where(total_n > 0, fused, _BIG), total_n > 0
+
+        per = [offset_cost(float(o)) for o in np.asarray(offsets)]
+        costs = jnp.stack([p[0] for p in per])  # (O, H, W)
+        any_valid = jnp.stack([p[1] for p in per])
+        return _select_best(
+            costs, any_valid, offsets, disparity, mask, num, step, subpixel
+        )
 
     if not exact_warp:
         # warp every aux view once at the CURRENT disparity
@@ -174,6 +274,11 @@ def multiview_refine(
         return jnp.where(total_n > 0, fused, _BIG), total_n > 0
 
     costs, any_valid = jax.lax.map(fused_cost, offsets)  # (O, H, W)
+    return _select_best(costs, any_valid, offsets, disparity, mask, num, step, subpixel)
+
+
+def _select_best(costs, any_valid, offsets, disparity, mask, num, step, subpixel):
+    """WTA + parabola over the offset axis, shared by all warp paths."""
     best = jnp.argmin(costs, axis=0)  # (H, W) int
     best_cost = jnp.min(costs, axis=0)
     valid = jnp.take_along_axis(any_valid, best[None], axis=0)[0]

@@ -2,6 +2,8 @@
 against the analytic synthetic rig (exact GT depth — the ``idealRef.yml``
 pattern done properly, SURVEY.md §4)."""
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -145,3 +147,21 @@ def test_backend_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(b.depth)[both], np.asarray(a.depth)[both], rtol=1e-5
     )
+
+
+def test_plane_chunk_remainder_matches_unchunked(rig_data):
+    """_chunked_plane_map pads the plane axis to a chunk multiple (repeat of
+    the last plane) and slices the pad off — the volume must be identical to
+    plane-at-a-time mapping for a plane count that does NOT divide the
+    chunk (here 40 planes, chunk 16 -> 3 chunks with 8 planes of pad)."""
+    rig, imgs, _ = rig_data
+    base = PlaneSweepConfig(
+        num_planes=40, z_near=0.8, z_far=1.05, cost="census", patch=7,
+        fusion="topk_mean", topk=4,
+    )
+    cfg_chunk = dataclasses.replace(base, plane_chunk=16)
+    cfg_one = dataclasses.replace(base, plane_chunk=1)
+    v_chunk, nv_chunk, _ = plane_sweep_volume(imgs, rig, REF, SRC, cfg_chunk)
+    v_one, nv_one, _ = plane_sweep_volume(imgs, rig, REF, SRC, cfg_one)
+    np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_one), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nv_chunk), np.asarray(nv_one))

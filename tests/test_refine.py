@@ -148,3 +148,58 @@ def test_exact_and_approx_warp_agree_on_smooth_disparity():
     for out in (a, b):
         err = np.abs(np.asarray(out.disparity) - true_disp)[inner]
         assert np.median(err) < 0.5
+
+
+def test_candidate_stack_matches_exact_warp_axis_aligned():
+    """The static candidate-stack fast path (concrete baselines +
+    max_disparity) must reproduce the exact per-offset warp for axis-aligned
+    baselines: hat-weight blending of integer-pixel shifted copies IS
+    bilinear sampling along that axis."""
+    rng = np.random.default_rng(11)
+    h, w = 64, 80
+    ref = _textured(rng, h, w)
+    true_disp = np.full((h, w), 6.0, dtype=np.float32)
+    true_disp[20:40, 20:50] = 9.0
+    baselines = np.asarray([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]], dtype=np.float32)
+    aux = _make_views(ref, true_disp, baselines)
+    init = jnp.asarray(true_disp + 2.0)
+
+    kwargs = dict(radius=4, window=9, subpixel=True)
+    fast = multiview_refine(
+        jnp.asarray(ref), jnp.asarray(aux), baselines, init,
+        max_disparity=20.0, **kwargs,
+    )
+    exact = multiview_refine(
+        jnp.asarray(ref), jnp.asarray(aux), jnp.asarray(baselines), init,
+        exact_warp=True, **kwargs,
+    )
+    fd = np.asarray(fast.disparity)
+    ed = np.asarray(exact.disparity)
+    both = np.asarray(fast.valid) & np.asarray(exact.valid)
+    # identical winner selection away from borders (subpixel parabola may
+    # differ by float noise)
+    inner = np.zeros_like(both)
+    inner[10:-10, 10:-10] = True
+    m = both & inner
+    assert m.mean() > 0.5
+    assert np.abs(fd - ed)[m].max() < 0.26
+
+
+def test_candidate_stack_recovers_constant_offset():
+    """End-to-end recovery through the fast path (the array pipeline's
+    default refine configuration)."""
+    rng = np.random.default_rng(13)
+    h, w = 64, 80
+    ref = _textured(rng, h, w)
+    true_disp = np.full((h, w), 6.0, dtype=np.float32)
+    baselines = np.asarray([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]], dtype=np.float32)
+    aux = _make_views(ref, true_disp, baselines)
+    init = jnp.asarray(true_disp + 3.0)
+    out = multiview_refine(
+        jnp.asarray(ref), jnp.asarray(aux), baselines, init,
+        radius=5, window=11, max_disparity=20.0,
+    )
+    inner = np.zeros((h, w), dtype=bool)
+    inner[12:-12, 12:-12] = True
+    err = np.abs(np.asarray(out.disparity) - true_disp)[inner & np.asarray(out.valid)]
+    assert np.median(err) < 0.5
