@@ -166,7 +166,11 @@ def multiview_refine(
     """
     v_views = aux_images.shape[0]
     num = 2 * radius + 1
-    offsets = (jnp.arange(num, dtype=reference.dtype) - radius) * step
+    # host copy: inside an outer trace (lax.map/jit), even constant-input
+    # jnp ops produce tracers, so the candidate loop below must iterate a
+    # numpy array, not `offsets` itself
+    offsets_np = (np.arange(num, dtype=np.float64) - radius) * step
+    offsets = jnp.asarray(offsets_np, dtype=reference.dtype)
 
     bl = None if exact_warp else _concrete_baselines(baselines_uv)
     if bl is not None and max_disparity is not None and max_disparity > 0:
@@ -229,7 +233,7 @@ def multiview_refine(
             fused = total_c / jnp.maximum(total_n, 1.0)
             return jnp.where(total_n > 0, fused, _BIG), total_n > 0
 
-        per = [offset_cost(float(o)) for o in np.asarray(offsets)]
+        per = [offset_cost(float(o)) for o in offsets_np]
         costs = jnp.stack([p[0] for p in per])  # (O, H, W)
         any_valid = jnp.stack([p[1] for p in per])
         return _select_best(

@@ -2,6 +2,7 @@
 `improveWithDisparity` (``/root/reference/src/functions.cpp:11-52``)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from stereovisionarray_tpu.ops import box_filter2d, multiview_refine
@@ -203,3 +204,29 @@ def test_candidate_stack_recovers_constant_offset():
     inner[12:-12, 12:-12] = True
     err = np.abs(np.asarray(out.disparity) - true_disp)[inner & np.asarray(out.valid)]
     assert np.median(err) < 0.5
+
+
+def test_refine_traces_under_outer_lax_map():
+    """Regression: inside an outer jit/lax.map trace, constant-input jnp ops
+    (the candidate offsets) become tracers; the static candidate-stack path
+    must iterate host-side offsets (perf_array_stages.py batches frames this
+    way)."""
+    rng = np.random.default_rng(3)
+    h, w = 32, 48
+    ref = jnp.asarray(_textured(rng, h, w))
+    baselines = np.asarray([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    aux = jnp.stack([ref, ref])
+    disp = jnp.full((h, w), 2.0)
+
+    def one(s):
+        out = multiview_refine(
+            ref + s, aux, baselines, disp, radius=3, window=7,
+            max_disparity=8.0,
+        )
+        return jnp.sum(out.disparity)
+
+    @jax.jit
+    def prog():
+        return jnp.sum(jax.lax.map(one, jnp.arange(2, dtype=jnp.float32)))
+
+    assert np.isfinite(float(prog()))
