@@ -106,13 +106,18 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
             #   rmn[x'] = min(r, lh, rh)[x'] = (r[x'] + min3(r, up, dn)) / 2
             # which matches the XLA builder's jnp.roll bounds bit-for-bit
             # (both are circular) — replaces two more full barrels.
-            # one extra sublane row (shift D) so the left-neighbour matrix
-            # up[d] = rs[d+1] exists for d = D-1
-            rs_ext = _shifted_rows(rt, D + 1, w)
-            rs = rs_ext[:D]
-            up = rs_ext[1:]
+            # The extra row (shift D) for up[D-1] = rs[D] comes from ONE
+            # single-row roll instead of asking _shifted_rows for D+1 rows
+            # — with D a power of two that would force a final doubling to
+            # 2D (e.g. 120 instead of 56 rolled rows at D=64), and rolls
+            # are the expensive ops in this kernel (lane shuffles; the
+            # precomputed-bounds variant with 3 independent D-row barrels
+            # and NO derivation math measured 2.55 -> 2.83 ms e2e).
+            rs = _shifted_rows(rt, D, w)
+            row_d = pltpu.roll(rt, D % w, axis=1)  # (1, W): shift by D
+            up = jnp.concatenate([rs[1:], row_d], axis=0)
             dn_row0 = pltpu.roll(rt, w - 1, axis=1)  # left-roll by 1
-            dn = jnp.concatenate([dn_row0, rs_ext[: D - 1]], axis=0)
+            dn = jnp.concatenate([dn_row0, rs[: D - 1]], axis=0)
             m3mn = jnp.minimum(jnp.minimum(up, dn), rs)
             m3mx = jnp.maximum(jnp.maximum(up, dn), rs)
             rmn = 0.5 * (rs + m3mn)

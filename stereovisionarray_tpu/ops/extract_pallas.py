@@ -75,7 +75,10 @@ def _wta_row(a, d_iota, D):
     a_dn = jnp.concatenate([a[:1], a[:-1]], axis=0)  # row 0 dead: d_c >= 1
     a_up = jnp.concatenate([a[1:], a[-1:]], axis=0)  # row D-1 dead: d_c <= D-2
     cm = jnp.sum(jnp.where(sel, a_dn, zero), axis=0, keepdims=True)
-    c0 = jnp.sum(jnp.where(sel, a, zero), axis=0, keepdims=True)
+    # center sample: a[d_c] == a[d_int] == cmin wherever the winner is
+    # interior (d_c == d_int); border lanes discard delta via the
+    # `interior` mask in _subpixel — so reuse cmin, one reduce fewer
+    c0 = cmin
     cp = jnp.sum(jnp.where(sel, a_up, zero), axis=0, keepdims=True)
     second = jnp.min(
         jnp.where(jnp.abs(d_iota - d_int) <= 1,
