@@ -183,7 +183,9 @@ class TestHdwFastPath:
         b = r.uniform(0, 255, (44, 96)).astype(np.float32)
         l = jnp.asarray(b[:, :80])
         rt = jnp.asarray(b[:, 16:])
-        for D in (16, 32):
+        # 12: non-power-of-two D — exercises the barrel's round-up-and-slice
+        # doubling plus the single-row roll that supplies the up[D-1] bound
+        for D in (12, 16, 32):
             want = np.asarray(fused_cost_volume(
                 l, rt, D, census_window=(5, 5), dtype=jnp.int16, layout="hdw"))
             got = np.asarray(fused_cost_volume_pallas_hdw(
