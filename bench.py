@@ -114,14 +114,23 @@ def main():
     sustained = []  # big-batch frames/s (includes per-dispatch overhead)
     for rnd in range(MAX_ROUNDS):
         t_small, t_big = _measure_round(rnd, small, big)
-        per_frame = max((t_big - t_small) / (B_BIG - B_SMALL), 1e-9)
-        estimates.append(per_frame)
+        per_frame = (t_big - t_small) / (B_BIG - B_SMALL)
         sustained.append(t_big / B_BIG)
+        if per_frame <= 0:
+            # tunnel noise inverted the slope (documented failure mode) —
+            # a clamped epsilon here would "agree" with a second bad round
+            # and publish an absurd number of record; drop the round
+            continue
+        estimates.append(per_frame)
         if len(estimates) >= 2:
             lo, hi = min(estimates[-2:]), max(estimates[-2:])
             if hi - lo <= 0.15 * hi:
                 break
 
+    if not estimates:
+        # every slope round was noise-inverted: fall back to the sustained
+        # big-batch time, which still bounds true per-frame time from above
+        estimates = [statistics.median(sustained)]
     per_frame = statistics.median(estimates)
     mps = H * W / per_frame / 1e6
     sustained_mps = H * W / statistics.median(sustained) / 1e6

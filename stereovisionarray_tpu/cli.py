@@ -81,8 +81,6 @@ def _probe_report(maps: dict, probes) -> list:
     for (u, v) in probes or ():
         row = {"u": int(u), "v": int(v)}
         for name, arr in maps.items():
-            import numpy as np
-
             a = np.asarray(arr)
             if not (0 <= int(v) < a.shape[0] and 0 <= int(u) < a.shape[1]):
                 row[name] = None

@@ -36,6 +36,15 @@ from stereovisionarray_tpu.roi.mask import ellipse_mask
 __all__ = ["ArrayPipelineOutput", "array_baselines", "array_depth_pipeline"]
 
 
+def _host_centers(cameras) -> np.ndarray:
+    """(N, 3) camera centers as concrete numpy, from the RAW fields.
+
+    NOT ``cameras.centers`` — that property is a jnp einsum, which under a
+    jit trace returns a tracer even for closure-constant cameras and breaks
+    the host-side static computations below; the fields stay concrete."""
+    return -np.einsum("nji,nj->ni", np.asarray(cameras.R), np.asarray(cameras.t))
+
+
 def _shift_warp_pad(cameras, ref_index, src_indices, cfg) -> int:
     """Static bound for the plane-sweep translation-warp fast path, or 0
     when the rig is not translation-only (general homographies needed).
@@ -47,12 +56,7 @@ def _shift_warp_pad(cameras, ref_index, src_indices, cfg) -> int:
     eye = np.broadcast_to(np.eye(3, dtype=R.dtype), R.shape)
     if not np.allclose(R, eye, atol=1e-6):
         return 0
-    # centers computed in numpy from the raw fields (NOT cameras.centers —
-    # that property is a jnp einsum, which under a jit trace returns a
-    # tracer even for closure-constant cameras and breaks this host-side
-    # computation; the fields themselves stay concrete)
-    t = np.asarray(cameras.t)
-    centers = -np.einsum("nji,nj->ni", R, t)
+    centers = _host_centers(cameras)
     idx = [ref_index, *src_indices]
     if not np.allclose(centers[idx, 2], centers[ref_index, 2], atol=1e-9):
         return 0  # differing z -> homography has a scale term
@@ -103,9 +107,7 @@ def array_baselines(
 
     Returns (baselines_uv (V, 2) float32, B0 mean metric baseline).
     """
-    # numpy from raw fields (cameras.centers is a jnp einsum — a tracer
-    # under jit; see _shift_warp_pad)
-    centers = -np.einsum("nji,nj->ni", np.asarray(cameras.R), np.asarray(cameras.t))
+    centers = _host_centers(cameras)
     ref_c = centers[ref_index]
     rel = ref_c[None, :2] - centers[list(src_indices), :2]  # (V, 2)
     b_len = np.linalg.norm(rel, axis=-1)
@@ -182,9 +184,11 @@ def array_depth_pipeline(
     refined_disparity = disparity
     rcfg = cfg.refine
     # static disparity ceiling for the candidate-stack warp: the sweep's
-    # nearest plane plus the worst-case accumulated refinement offsets
-    d_ceiling = f_px * b0 / cfg.plane_sweep.z_near + abs(
-        rcfg.radius * rcfg.step
+    # nearest plane plus the worst-case accumulated refinement offsets —
+    # each iteration can move up to (radius + 0.5) * step (the subpixel
+    # parabola adds up to half a step beyond the integer window)
+    d_ceiling = f_px * b0 / cfg.plane_sweep.z_near + (
+        abs(rcfg.radius * rcfg.step) + 0.5 * abs(rcfg.step)
     ) * max(rcfg.iterations, 1)
     for _ in range(max(rcfg.iterations, 0)):
         out = multiview_refine(

@@ -194,9 +194,16 @@ def multiview_refine(
         for v in range(v_views):
             bu, bv = float(bl[v, 0]), float(bl[v, 1])
             blen = float(np.hypot(bu, bv))
-            ux, uy = bu / blen, bv / blen
-            s_lo = int(np.floor(-off_hi * blen))
-            s_hi = int(np.ceil((max_disparity + off_hi) * blen))
+            if blen < 1e-12:
+                # degenerate zero baseline (source center coincides with the
+                # reference — array_baselines emits a zero vector): the warp
+                # is the identity at every candidate; one unshifted entry
+                ux = uy = 0.0
+                s_lo = s_hi = 0
+            else:
+                ux, uy = bu / blen, bv / blen
+                s_lo = int(np.floor(-off_hi * blen))
+                s_hi = int(np.ceil((max_disparity + off_hi) * blen))
             pad_v = int(np.ceil(max(abs(s_lo), abs(s_hi)) * max(abs(ux), abs(uy)))) + 2
             padded = jnp.pad(aux_images[v], pad_v)
             stack = jnp.stack(
@@ -216,11 +223,16 @@ def multiview_refine(
                 t = jnp.clip(d_new * blen, s_lo, s_hi)
                 wgt = jnp.maximum(0.0, 1.0 - jnp.abs(t[None] - svals[:, None, None]))
                 warped = jnp.sum(wgt * stack, axis=0)
+                # mirror warp_with_disparity's gate (ops/warp.py:106): a
+                # non-positive candidate disparity is no evidence — without
+                # this, sweep-invalid pixels (disparity fill 0) would be
+                # "refined" from garbage and reported valid
                 ok = (
                     (u_iota + d_new * bu >= 0.0)
                     & (u_iota + d_new * bu <= w - 1.0)
                     & (v_iota + d_new * bv >= 0.0)
                     & (v_iota + d_new * bv <= h - 1.0)
+                    & (d_new > 0.0)
                 )
                 diffs.append(jnp.where(ok, jnp.abs(reference - warped), 0.0))
                 oks.append(ok)

@@ -94,7 +94,9 @@ def _resolve_parallel_backend(backend: str) -> str:
     return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
 
 
-_BIGF = 1e9  # matches ops.sgm._BIG (fresh-start carry sentinel)
+from stereovisionarray_tpu.ops.sgm import _BIG as _BIGF  # fresh-start carry
+# sentinel — the relay's bit-for-bit exactness claim REQUIRES the same
+# constant as the single-device scans, so import it rather than re-declare
 
 # path id -> (reverse, diag_shift) for the vertical/diagonal paths that cross
 # tile-shard boundaries (ids per ops.sgm.ALL_PATH_IDS)
@@ -251,8 +253,9 @@ def _two_view_program(
             dtype=dtype,
             d_offset=disp_idx * d_local,
         )
-        if n_disp > 1:
-            vol = lax.all_gather(vol, AXIS_DISP, axis=-1, tiled=True)
+        # n_disp == 1 here by construction — _two_view_program rejects
+        # tile_mode='exact' with a disp axis (relay collectives inside
+        # uneven switch branches would deadlock the mesh), so no all_gather
         vol = crop_halo(vol, use_halo, axis=0)
 
         if sgm_cfg.adaptive_p2:
@@ -267,20 +270,9 @@ def _two_view_program(
             p2_y = jnp.broadcast_to(jnp.asarray(sgm_cfg.p2, dtype), shape)
             p2_x = p2_y
 
-        if n_disp == 1:
-            agg = _sgm_aggregate_exact(
-                vol, p2_y, p2_x, sgm_cfg.p1, path_chunks[0], n_tile
-            )
-        else:
-            branches = [
-                functools.partial(
-                    _sgm_aggregate_exact, p1=sgm_cfg.p1, path_ids=chunk, n_tile=n_tile
-                )
-                for chunk in path_chunks
-            ]
-            agg = lax.psum(
-                lax.switch(disp_idx, branches, vol, p2_y, p2_x), AXIS_DISP
-            )
+        agg = _sgm_aggregate_exact(
+            vol, p2_y, p2_x, sgm_cfg.p1, path_chunks[0], n_tile
+        )
 
         vol_right = right_from_left_volume(agg) if sgm_cfg.lr_max_diff > 0 else None
         res = disparity_from_volume(

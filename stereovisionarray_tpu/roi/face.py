@@ -157,7 +157,16 @@ def detect_face(
     jitted conv program (static shape per level, cached across calls)."""
     img = jnp.asarray(image, jnp.float32)
     h, w = img.shape
-    best = (jnp.float32(-2.0), jnp.zeros(2, jnp.int32), 1.0)
+    # traced best-of-levels selection (jnp.where, not host comparisons):
+    # the whole detector stays jittable, so array_depth_pipeline(use_roi=
+    # True, roi_mode="face") composes under jit / lax.map like every other
+    # stage (the level count and shapes are static — the Python loop only
+    # lays out one conv program per pyramid level)
+    best_score = jnp.float32(-2.0)
+    best_u0 = jnp.float32(0.0)
+    best_v0 = jnp.float32(0.0)
+    best_bw = jnp.float32(_TW)
+    best_bh = jnp.float32(_TH)
     for k in range(num_scales):
         s = scale_step ** k
         hs, ws = int(round(h * s)), int(round(w * s))
@@ -165,21 +174,22 @@ def detect_face(
             break
         lvl = img if k == 0 else jax.image.resize(img, (hs, ws), "linear")
         score, vu = _ncc_peak(lvl)
-        if float(score) > float(best[0]):
-            best = (score, vu, s)
-    score, vu, s = best
-    u0 = vu[1].astype(jnp.float32) / s
-    v0 = vu[0].astype(jnp.float32) / s
-    bw = jnp.float32(_TW / s)
-    bh = jnp.float32(_TH / s)
-    box = jnp.stack([u0, v0, bw, bh])
+        take = score > best_score
+        best_score = jnp.where(take, score, best_score)
+        best_u0 = jnp.where(take, vu[1].astype(jnp.float32) / s, best_u0)
+        best_v0 = jnp.where(take, vu[0].astype(jnp.float32) / s, best_v0)
+        best_bw = jnp.where(take, jnp.float32(_TW / s), best_bw)
+        best_bh = jnp.where(take, jnp.float32(_TH / s), best_bh)
+    box = jnp.stack([best_u0, best_v0, best_bw, best_bh])
     lm = jnp.asarray(canonical_landmarks())
-    landmarks = jnp.stack([u0 + lm[:, 0] * bw, v0 + lm[:, 1] * bh], axis=-1)
+    landmarks = jnp.stack(
+        [best_u0 + lm[:, 0] * best_bw, best_v0 + lm[:, 1] * best_bh], axis=-1
+    )
     return FaceDetection(
         box=box,
         landmarks=landmarks,
-        score=score,
-        found=score >= threshold,
+        score=best_score,
+        found=best_score >= threshold,
     )
 
 
@@ -192,7 +202,11 @@ def face_mask(image: jnp.ndarray, threshold: float = 0.30) -> jnp.ndarray:
     from stereovisionarray_tpu.roi.mask import ellipse_mask, face_mask_from_landmarks
 
     det = detect_face(image, threshold=threshold)
-    if bool(det.found):
-        return face_mask_from_landmarks(image.shape, det.landmarks)
+    # compute both masks and select traced — `found` is a device scalar, so
+    # a Python `if` would force a host sync and break jit (both branches are
+    # a handful of image-sized elementwise ops; negligible next to the
+    # pipeline this mask gates)
+    lm_mask = face_mask_from_landmarks(image.shape, det.landmarks)
     roi = detect_face_ellipse(jnp.asarray(image, jnp.float32))
-    return ellipse_mask(image.shape, roi.center, roi.axes, roi.angle)
+    ell = ellipse_mask(image.shape, roi.center, roi.axes, roi.angle)
+    return jnp.where(det.found, lm_mask, ell)
