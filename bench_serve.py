@@ -1,0 +1,112 @@
+"""Serving benchmark — ONE JSON line: sustained streaming frame-sets/s.
+
+End-to-end serving loop (models/serving.stream_depth_maps): C++ prefetch
+PNG decode -> host->device transfer -> jitted 5x5 array pipeline, all
+overlapped by StreamExecutor's bounded in-flight queue. Unlike bench.py /
+bench_array.py (pure device time via batch slopes), this measures the WHOLE
+serving path including decode and transport — the frames/s serving metric
+of BASELINE.json. Through the axon tunnel the per-dispatch transport
+latency bounds the result from below; on a directly-attached chip the same
+loop only goes faster.
+
+``vs_baseline``: the reference runs ONE frame-set per process, blocking on
+GUI windows mid-compute (``/root/reference/src/functions.cpp:42-43``);
+~0.016 set/s by the op-count model in bench_array.py.
+"""
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+REF_EST_SETS_PER_S = 0.016
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+ROWS = COLS = 5
+H, W = 270, 360
+PLANES = 128
+N_SETS = 24
+WARM_SETS = 4
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from stereovisionarray_tpu.config import EngineConfig
+    from stereovisionarray_tpu.datasets import (
+        SceneSpec,
+        reference_rig,
+        render_camera_array,
+        save_png,
+    )
+    from stereovisionarray_tpu.models.serving import (
+        frame_sets_from_dirs,
+        stream_depth_maps,
+    )
+
+    cams = reference_rig(rows=ROWS, cols=COLS, spacing=0.05, resolution=(H, W))
+    cfg = EngineConfig().override(**{
+        "camera.rows": ROWS,
+        "camera.cols": COLS,
+        "plane_sweep.num_planes": PLANES,
+        "plane_sweep.topology": "CROSS",
+    })
+
+    with tempfile.TemporaryDirectory(prefix="svt_serve_") as root:
+        # materialize distinct frame sets as PNG directories (decode must be
+        # part of the measured path; frames vary so nothing caches)
+        rng = np.random.default_rng(0)
+        dirs = []
+        base, _ = render_camera_array(cams, (H, W), SceneSpec())
+        base = np.asarray(base)
+        for i in range(N_SETS + WARM_SETS):
+            d = os.path.join(root, f"set_{i:03d}")
+            os.makedirs(d)
+            jitter = rng.normal(0.0, 2.0, size=base.shape[1:]).astype(np.float32)
+            stack = np.clip(base + jitter[None], 0.0, 255.0)
+            for v in range(base.shape[0]):
+                save_png(os.path.join(d, f"view_{v:02d}.png"),
+                         stack[v].astype(np.uint8))
+            dirs.append(d)
+
+        def run(dset):
+            n = 0
+            for res in stream_depth_maps(
+                frame_sets_from_dirs(dset), cams, cfg, depth=3,
+                transfer_dtype=np.uint8,  # 8-bit sources: 4x less H2D
+            ):
+                # touch the result so device->host completion is included
+                float(np.asarray(res.output.refined_depth).sum())
+                n += 1
+            return n
+
+        run(dirs[:WARM_SETS])  # compile + warm every stage
+        t0 = time.perf_counter()
+        n = run(dirs[WARM_SETS:])
+        dt = time.perf_counter() - t0
+
+    sets_per_s = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "serving_throughput",
+                "value": round(sets_per_s, 3),
+                "unit": "frame_sets/s",
+                "vs_baseline": round(sets_per_s / REF_EST_SETS_PER_S, 1),
+                "ms_per_frame_set": round(dt / n * 1e3, 1),
+                "sets": n,
+                "includes": "PNG decode + H2D + compute + D2H, overlapped",
+                "shape": [ROWS * COLS, H, W, PLANES],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

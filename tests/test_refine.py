@@ -230,3 +230,50 @@ def test_refine_traces_under_outer_lax_map():
         return jnp.sum(jax.lax.map(one, jnp.arange(2, dtype=jnp.float32)))
 
     assert np.isfinite(float(prog()))
+
+
+def test_candidate_stack_validity_matches_exact_warp_at_zero_disparity():
+    """Regression (r2 review): the stack path must mirror
+    warp_with_disparity's `d > 0` evidence gate — zero/negative candidate
+    disparities are not photoconsistency evidence — and must agree with the
+    literal exact_warp objective on validity and output bit-for-bit for
+    axis-aligned baselines, including an all-zero (sweep-invalid-fill)
+    initial disparity."""
+    rng = np.random.default_rng(17)
+    h, w = 32, 40
+    ref = _textured(rng, h, w)
+    aux = jnp.asarray(np.stack([_textured(rng, h, w), _textured(rng, h, w)]))
+    baselines = np.asarray([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    kwargs = dict(radius=2, step=1.0, window=5)
+    for d0 in (0.0, 3.0):
+        disp = jnp.full((h, w), d0, jnp.float32)
+        stack = multiview_refine(
+            jnp.asarray(ref), aux, baselines, disp, max_disparity=8.0, **kwargs
+        )
+        exact = multiview_refine(
+            jnp.asarray(ref), aux, jnp.asarray(baselines), disp,
+            exact_warp=True, **kwargs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stack.valid), np.asarray(exact.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(stack.disparity), np.asarray(exact.disparity), atol=1e-5
+        )
+
+
+def test_candidate_stack_zero_baseline_row():
+    """Regression (r2 review): a zero baseline row (source camera at the
+    reference center — array_baselines emits a zero vector) must not crash
+    the static path and must behave as an identity warp."""
+    rng = np.random.default_rng(19)
+    h, w = 32, 40
+    ref = _textured(rng, h, w)
+    aux = jnp.asarray(np.stack([ref, ref]))
+    baselines = np.asarray([[1.0, 0.0], [0.0, 0.0]], dtype=np.float32)
+    disp = jnp.full((h, w), 3.0, jnp.float32)
+    out = multiview_refine(
+        jnp.asarray(ref), aux, baselines, disp, radius=2, step=1.0, window=5,
+        max_disparity=8.0,
+    )
+    assert np.isfinite(np.asarray(out.disparity)).all()

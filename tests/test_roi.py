@@ -231,3 +231,25 @@ class TestFaceDetector:
         m = np.asarray(face_mask(jnp.asarray(img), threshold=0.9))
         cov = (m & blob).sum() / blob.sum()
         assert cov > 0.5
+
+
+def test_face_mask_traces_under_jit():
+    """Regression (r2 review): detect_face/face_mask must be fully traced
+    (no host bool()/float() syncs) so array_depth_pipeline(use_roi=True,
+    roi_mode='face') composes under jit and lax.map — the exact batching
+    pattern of bench_array.py."""
+    import jax
+
+    from stereovisionarray_tpu.roi import face_mask
+
+    rng = np.random.default_rng(23)
+    img = rng.uniform(0, 255, size=(96, 128)).astype(np.float32)
+
+    @jax.jit
+    def prog(x):
+        def one(s):
+            return jnp.sum(face_mask(x + s).astype(jnp.int32))
+        return jax.lax.map(one, jnp.arange(2, dtype=jnp.float32))
+
+    out = np.asarray(prog(jnp.asarray(img)))
+    assert out.shape == (2,) and (out >= 0).all()
