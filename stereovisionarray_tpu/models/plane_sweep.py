@@ -305,25 +305,33 @@ def plane_sweep_depth(
     )
     resolved = _resolve_backend(backend)
     if resolved in ("pallas", "pallas_interpret"):
+        from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
         from stereovisionarray_tpu.ops.extract_pallas import extract_maps_hdw
         from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_hdw
 
         interpret = resolved == "pallas_interpret"
         vol_hdw = jnp.moveaxis(vol, -1, 1)
+        # int16 fixed-point aggregation (the two-view fast-path trick,
+        # models/two_view.py): fused census costs are small (<= patch^2-1
+        # with fractional means), so scale-4 quantization is far below the
+        # photoconsistency noise floor and HALVES the SGM volume traffic.
+        # The XLA oracle path below stays float for test comparison.
+        pen = lambda v: round(v * COST_SCALE)
+        vol_hdw = jnp.round(vol_hdw * COST_SCALE).astype(jnp.int16)
         if sgm_cfg is not None:
             vol_hdw = sgm_aggregate_pallas_hdw(
                 vol_hdw,
-                p1=sgm_cfg.p1,
-                p2=sgm_cfg.p2,
+                p1=pen(sgm_cfg.p1),
+                p2=pen(sgm_cfg.p2),
                 num_paths=sgm_cfg.num_paths,
                 image=images[ref_index],
                 adaptive_p2=sgm_cfg.adaptive_p2,
-                p2_min=sgm_cfg.p2_min,
+                p2_min=pen(sgm_cfg.p2_min),
                 interpret=interpret,
             )
         maps = extract_maps_hdw(vol_hdw, subpixel=True, interpret=interpret)
         k = maps.disparity  # fractional winning plane index
-        cost = maps.cost
+        cost = maps.cost / COST_SCALE  # back to unscaled cost units
         k_int = jnp.clip(jnp.round(k).astype(jnp.int32), 0, cfg.num_planes - 1)
     else:
         if sgm_cfg is not None:
