@@ -101,10 +101,17 @@ def main():
         v = vol + s.astype(jnp.int16)
         return _sweep_hdw_stacked(v, p2_map, 32, True, False).astype(jnp.int32).sum()
 
+    # CAUTION: a bare `.sum()` fence lets XLA DCE the transpose entirely
+    # (sum commutes with permutation) — these two stages measured 0.03 /
+    # 0.01 ms, i.e. nothing. The iota weighting below blocks the rewrite
+    # for transpose_vol; transpose_add_xla remains partially foldable.
+    # Prefer the in-pipeline aggregate deltas for transpose costs.
     @stage("transpose_vol")
     def _tr(s):
         v = vol + s.astype(jnp.int16)
-        return jnp.transpose(v, (2, 1, 0)).astype(jnp.int32).sum()
+        t = jnp.transpose(v, (2, 1, 0)).astype(jnp.int32)
+        wgt = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2) % 3
+        return (t * wgt).sum()
 
     @stage("transpose_vol_pallas")
     def _trp(s):
