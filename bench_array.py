@@ -80,21 +80,28 @@ def main():
         _timed(run, x, 0.25)
 
     estimates = []
+    sustained = []  # big-batch secs/set: upper bound incl. dispatch overhead
     for rnd in range(MAX_ROUNDS):
         ts, tb = [], []
         for i in range(REPEATS):
             salt = 1.0 + 0.1 * i + 10.0 * rnd
             ts.append(_timed(*small, salt))
             tb.append(_timed(*big, salt + 0.05))
-        per_set = max(
-            (statistics.median(tb) - statistics.median(ts)) / (B_BIG - B_SMALL), 1e-9
-        )
+        sustained.append(statistics.median(tb) / B_BIG)
+        per_set = (statistics.median(tb) - statistics.median(ts)) / (B_BIG - B_SMALL)
+        if per_set <= 0:
+            # tunnel noise inverted the slope (same documented failure mode
+            # bench.py guards): a clamped epsilon would "agree" with a second
+            # bad round and publish an absurd number — drop the round
+            continue
         estimates.append(per_set)
         if len(estimates) >= 2:
             lo, hi = min(estimates[-2:]), max(estimates[-2:])
             if hi - lo <= 0.15 * hi:
                 break
 
+    if not estimates:
+        estimates = [statistics.median(sustained)]
     per_set = statistics.median(estimates)
     sets_per_s = 1.0 / per_set
     print(

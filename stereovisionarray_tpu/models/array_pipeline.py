@@ -161,7 +161,8 @@ def array_depth_pipeline(
             mask = _face_mask(images[ref_index])
         elif use_roi:
             roi = detect_face_ellipse(images[ref_index])
-            mask = ellipse_mask((h, w), roi.center, roi.axes, roi.angle) & roi.found
+            # unfound -> ungated (all-True), matching roi.face.face_mask
+            mask = ellipse_mask((h, w), roi.center, roi.axes, roi.angle) | ~roi.found
         else:
             mask = jnp.ones((h, w), dtype=bool)
 

@@ -263,10 +263,7 @@ def plane_sweep_volume(
     return vol, nv, depths
 
 
-def _resolve_backend(backend: str) -> str:
-    if backend != "auto":
-        return backend
-    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+from stereovisionarray_tpu.backend import resolve_backend as _resolve_backend
 
 
 @functools.partial(
@@ -312,12 +309,30 @@ def plane_sweep_depth(
         interpret = resolved == "pallas_interpret"
         vol_hdw = jnp.moveaxis(vol, -1, 1)
         # int16 fixed-point aggregation (the two-view fast-path trick,
-        # models/two_view.py): fused census costs are small (<= patch^2-1
-        # with fractional means), so scale-4 quantization is far below the
-        # photoconsistency noise floor and HALVES the SGM volume traffic.
+        # models/two_view.py) HALVES the SGM volume traffic, but the scale
+        # must match the cost mode's dynamic range: census fused costs span
+        # [0, patch^2-1] (scale 4 ~= 0.5% steps), zncc costs live in [0, 2]
+        # and need a far finer step. Quantization is skipped entirely (the
+        # Pallas kernels run float32) whenever a nonzero SGM penalty would
+        # round to zero or the 8-path aggregate could overflow int16.
         # The XLA oracle path below stays float for test comparison.
-        pen = lambda v: round(v * COST_SCALE)
-        vol_hdw = jnp.round(vol_hdw * COST_SCALE).astype(jnp.int16)
+        scale = 512 if cfg.cost == "zncc" else COST_SCALE
+        ceiling = {
+            "census": cfg.patch * cfg.patch - 1, "sad": 255.0, "zncc": 2.0,
+        }[cfg.cost]
+        pens = (
+            (sgm_cfg.p1, sgm_cfg.p2, sgm_cfg.p2_min) if sgm_cfg is not None else ()
+        )
+        quantize = all(round(p * scale) >= 1 for p in pens if p > 0) and (
+            8 * (ceiling + max(pens, default=0.0)) * scale < 30000
+        )
+        if quantize:
+            pen = lambda v: round(v * scale)
+            vol_hdw = jnp.round(vol_hdw * scale).astype(jnp.int16)
+        else:
+            scale = 1
+            pen = lambda v: v
+            vol_hdw = vol_hdw.astype(jnp.float32)
         if sgm_cfg is not None:
             vol_hdw = sgm_aggregate_pallas_hdw(
                 vol_hdw,
@@ -331,7 +346,7 @@ def plane_sweep_depth(
             )
         maps = extract_maps_hdw(vol_hdw, subpixel=True, interpret=interpret)
         k = maps.disparity  # fractional winning plane index
-        cost = maps.cost / COST_SCALE  # back to unscaled cost units
+        cost = maps.cost / scale  # back to unscaled cost units
         k_int = jnp.clip(jnp.round(k).astype(jnp.int32), 0, cfg.num_planes - 1)
     else:
         if sgm_cfg is not None:

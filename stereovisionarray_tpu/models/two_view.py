@@ -54,13 +54,7 @@ def depth_to_disparity(
     return jnp.where(depth > 1e-9, disp, invalid_fill)
 
 
-def _resolve_backend(backend: str) -> str:
-    if backend != "auto":
-        return backend
-    # Pallas kernels compile for TPU-family backends; everything else
-    # (cpu/gpu here) takes the pure-XLA path. CPU tests exercise the Pallas
-    # path explicitly via interpret mode (tests/test_sgm_pallas.py).
-    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+from stereovisionarray_tpu.backend import resolve_backend as _resolve_backend
 
 
 @functools.partial(

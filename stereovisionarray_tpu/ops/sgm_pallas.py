@@ -353,74 +353,25 @@ def _sweep_hdw_bidir(vol, p2_map, p1, diagonals: bool, interpret: bool):
     )(vol, vol, p2_map[:, None, :], p2_map[:, None, :])
 
 
-def _transpose_kernel(in_ref, out_ref):
-    out_ref[:] = jnp.transpose(in_ref[:], (2, 1, 0))
-
-
-def _transpose_add_kernel(vert_ref, horiz_ref, out_ref):
-    out_ref[:] = vert_ref[:] + jnp.transpose(horiz_ref[:], (2, 1, 0))
-
-
-def _transpose_blocks_ok(shape, dtype) -> bool:
-    """Gate for the Pallas blocked transpose: currently ALWAYS falls back to
-    XLA — Mosaic lowers the in-kernel 3D (2,1,0) block transpose by
-    materializing the FULL output on the kernel stack (measured: 51 MiB
-    scoped-vmem OOM at 540x768x64 int16), so the kernels above are kept as
-    reference until a supported block-transpose lowering exists. The XLA
-    transpose measures ~0.32 ms (2.5x HBM SOL) at that shape."""
-    return False
-
-
 def transpose_hdw(vol, interpret: bool = False):
-    """(H, D, W) -> (W, D, H) as a Pallas blocked transpose.
+    """(H, D, W) -> (W, D, H), via XLA.
 
-    XLA's int16 3D transpose runs ~2.5x off HBM speed-of-light at
-    540x768x64 (measured 0.32 ms vs ~0.13); this kernel moves each
-    (128, D, 128) tile once with an in-register block transpose. Falls
-    back to jnp.transpose when the block budget doesn't fit (see
-    ``_transpose_blocks_ok``)."""
-    h, d, w = vol.shape
-    if not _transpose_blocks_ok(vol.shape, vol.dtype):
-        return jnp.transpose(vol, (2, 1, 0))
-    bh = bw = 128
-    grid = (pl.cdiv(h, bh), pl.cdiv(w, bw))
-    return pl.pallas_call(
-        _transpose_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bh, d, bw), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((bw, d, bh), lambda i, j: (j, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((w, d, h), vol.dtype),
-        interpret=interpret,
-    )(vol)
+    A Pallas blocked transpose does NOT legalize on v5e in any tested
+    formulation — Mosaic materializes the full output on the kernel stack
+    (51 MiB scoped-vmem OOM at 540x768x64 int16); see
+    scripts/probe_transpose.py for the probes (3D block and per-d 2D loop).
+    XLA's int16 3D transpose runs ~0.32 ms (~2.5x HBM SOL) at that shape —
+    the known remaining gap in the aggregate stage."""
+    del interpret
+    return jnp.transpose(vol, (2, 1, 0))
 
 
 def transpose_add_hdw(vert, horiz, interpret: bool = False):
-    """vert (H, D, W) + transpose(horiz (W, D, H)) -> (H, D, W) in ONE
-    blocked pass (the 8-path SGM's final combine; the XLA transposed add
-    measured ~0.6 ms of the 1.7 ms aggregate at 540x768x64)."""
-    h, d, w = vert.shape
-    if not _transpose_blocks_ok(vert.shape, vert.dtype):
-        return vert + jnp.transpose(horiz, (2, 1, 0))
-    bh = bw = 128
-    grid = (pl.cdiv(h, bh), pl.cdiv(w, bw))
-    return pl.pallas_call(
-        _transpose_add_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bh, d, bw), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bw, d, bh), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bh, d, bw), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, d, w), vert.dtype),
-        interpret=interpret,
-    )(vert, horiz)
+    """vert (H, D, W) + transpose(horiz (W, D, H)) -> (H, D, W), via XLA
+    (fuses into one pass; a Pallas version cannot legalize — see
+    ``transpose_hdw``)."""
+    del interpret
+    return vert + jnp.transpose(horiz, (2, 1, 0))
 
 
 # hdw sweep name -> ops.sgm path ids (the unit of path parallelism for the

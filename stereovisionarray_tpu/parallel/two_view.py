@@ -88,10 +88,9 @@ _SWEEP_CHUNKS = {
 }
 
 
-def _resolve_parallel_backend(backend: str) -> str:
-    if backend != "auto":
-        return backend
-    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+from stereovisionarray_tpu.backend import (
+    resolve_backend as _resolve_parallel_backend,
+)
 
 
 from stereovisionarray_tpu.ops.sgm import _BIG as _BIGF  # fresh-start carry

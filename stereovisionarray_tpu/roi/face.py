@@ -209,4 +209,7 @@ def face_mask(image: jnp.ndarray, threshold: float = 0.30) -> jnp.ndarray:
     lm_mask = face_mask_from_landmarks(image.shape, det.landmarks)
     roi = detect_face_ellipse(jnp.asarray(image, jnp.float32))
     ell = ellipse_mask(image.shape, roi.center, roi.axes, roi.angle)
+    # nothing found anywhere -> don't gate at all (an unfound ellipse has
+    # arbitrary center/axes from near-zero moments)
+    ell = ell | ~roi.found
     return jnp.where(det.found, lm_mask, ell)

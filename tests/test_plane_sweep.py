@@ -180,3 +180,43 @@ def test_plane_chunk_remainder_matches_unchunked(rig_data):
     v_one, nv_one, _ = plane_sweep_volume(imgs, rig, REF, SRC, cfg_one)
     np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_one), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(nv_chunk), np.asarray(nv_one))
+
+
+def test_zncc_pallas_backend_skips_quantization(rig_data):
+    """zncc costs live in [0, 2]: int16 scale-4 quantization would collapse
+    them to 9 levels and round sub-0.125 penalties to ZERO. The pallas path
+    must detect this and aggregate in float32 — matching the XLA oracle's
+    winners instead of the quantized degenerate ones (review finding r2)."""
+    rig, imgs, deps = rig_data
+    cfg = dataclasses.replace(CFG, cost="zncc", patch=7)
+    sgm = SGMConfig(p1=0.05, p2=0.5, adaptive_p2=False, lr_max_diff=0.0)
+    ref = plane_sweep_depth(imgs, rig, REF, SRC, cfg, sgm, backend="xla")
+    out = plane_sweep_depth(
+        imgs, rig, REF, SRC, cfg, sgm, backend="pallas_interpret"
+    )
+    rd, rv = np.asarray(ref.depth), np.asarray(ref.valid)
+    od, ov = np.asarray(out.depth), np.asarray(out.valid)
+    both = rv & ov & _inner_mask(rv)
+    assert both.sum() > 0.5 * _inner_mask(rv).sum()
+    # float32 aggregation on both sides: plane winners must agree except
+    # for exact ties; depths then agree to subpixel-parabola noise
+    rel = np.abs(od[both] - rd[both]) / rd[both]
+    assert np.median(rel) < 5e-3, f"median rel {np.median(rel)}"
+    assert (rel < 0.02).mean() > 0.97, f"agree frac {(rel < 0.02).mean()}"
+
+
+def test_census_tiny_penalties_fall_back_to_float(rig_data):
+    """Census costs with a nonzero penalty below one quantization step
+    (p1=0.1 < 1/COST_SCALE) must also take the float path rather than
+    silently zeroing P1."""
+    rig, imgs, _ = rig_data
+    sgm = SGMConfig(p1=0.1, p2=8.0, adaptive_p2=False, lr_max_diff=0.0)
+    ref = plane_sweep_depth(imgs, rig, REF, SRC, CFG, sgm, backend="xla")
+    out = plane_sweep_depth(
+        imgs, rig, REF, SRC, CFG, sgm, backend="pallas_interpret"
+    )
+    rd, rv = np.asarray(ref.depth), np.asarray(ref.valid)
+    od, ov = np.asarray(out.depth), np.asarray(out.valid)
+    both = rv & ov & _inner_mask(rv)
+    rel = np.abs(od[both] - rd[both]) / rd[both]
+    assert np.median(rel) < 5e-3, f"median rel {np.median(rel)}"

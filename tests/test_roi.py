@@ -253,3 +253,28 @@ def test_face_mask_traces_under_jit():
 
     out = np.asarray(prog(jnp.asarray(img)))
     assert out.shape == (2,) and (out >= 0).all()
+
+
+def test_mask_ungated_when_nothing_found():
+    """No face AND no Otsu foreground blob: both ROI entry points must
+    disable gating (all-True mask) instead of emitting a garbage ellipse
+    from near-zero moments (review finding r2)."""
+    import jax.numpy as jnp
+    from stereovisionarray_tpu.roi import face_mask
+    from stereovisionarray_tpu.roi.detect import detect_face_ellipse
+    from stereovisionarray_tpu.roi.mask import ellipse_mask
+
+    # near-black scene with one tiny speck: the Otsu soft-foreground mass is
+    # concentrated in far less than min_fraction of the pixels -> not found
+    img_np = np.zeros((96, 128), dtype=np.float32)
+    img_np[50:52, 60:62] = 255.0
+    img = jnp.asarray(img_np)
+    roi = detect_face_ellipse(img)
+    assert not bool(roi.found)
+    m = np.asarray(face_mask(img, threshold=0.9))
+    assert m.all(), f"expected ungated mask, got {m.mean():.3f} coverage"
+    # the array_depth_pipeline otsu branch composes the same way
+    m2 = np.asarray(
+        ellipse_mask(img.shape, roi.center, roi.axes, roi.angle) | ~roi.found
+    )
+    assert m2.all()
