@@ -102,20 +102,65 @@ def two_view_disparity(
         interpret = resolved == "pallas_interpret"
         scale = COST_SCALE if integer_costs else 1
         if integer_costs:
-            # fused Pallas builder: bit-exact vs the XLA int16 builder,
-            # one (D, W) slab per row via barrel-shifted census
+            # Fully-fused fast path: both cost layouts built directly
+            # (zero pre-sweep volume transposes — the (W, D, H) builder is
+            # roll-free), horizontal sweeps LAST, extraction fused into
+            # the reverse horizontal sweep with a streaming right-view WTA
+            # (the aggregated volume never touches HBM). Bit-identical to
+            # the unfused aggregate + extract for integer costs
+            # (tests/test_sgm_pallas.py::test_fused_rl_extract_bit_exact).
             from stereovisionarray_tpu.ops.cost_pallas import (
                 fused_cost_volume_pallas_hdw,
+                fused_cost_volume_pallas_wdh,
             )
+            from stereovisionarray_tpu.ops.sgm_pallas import (
+                sgm_extract_fused_wdh,
+            )
+            from stereovisionarray_tpu.ops.wta import DisparityResult
 
-            vol = fused_cost_volume_pallas_hdw(
-                left,
-                right,
-                cost_cfg.num_disparities,
+            ckw = dict(
                 census_window=cost_cfg.census_window,
                 bt_weight=cost_cfg.bt_weight,
                 bt_clip=cost_cfg.bt_clip,
                 interpret=interpret,
+            )
+            w = left.shape[1]
+            br = next((r for r in (32, 16, 8) if w % r == 0), None)
+            if br is not None:
+                # build ONCE in the roll-free (W, D, H) layout; the (H, D, W)
+                # twin comes from one XLA transpose — measured ~0.17 ms/frame
+                # cheaper than running the barrel-shift HDW builder as well
+                # (scripts/perf_fused_ab.py: fused_rl vs fused_rl_2build)
+                vol_t = fused_cost_volume_pallas_wdh(
+                    left, right, cost_cfg.num_disparities, block_rows=br,
+                    **ckw,
+                )
+                vol = jnp.transpose(vol_t, (2, 1, 0))
+            else:  # odd width: barrel builder + internal transpose fallback
+                vol = fused_cost_volume_pallas_hdw(
+                    left, right, cost_cfg.num_disparities, **ckw
+                )
+                vol_t = None
+            pen = lambda v: round(v * scale)
+            maps = sgm_extract_fused_wdh(
+                vol,
+                vol_t,
+                p1=pen(sgm_cfg.p1),
+                p2=pen(sgm_cfg.p2),
+                num_paths=sgm_cfg.num_paths,
+                image=left,
+                adaptive_p2=sgm_cfg.adaptive_p2,
+                p2_min=pen(sgm_cfg.p2_min),
+                subpixel=sgm_cfg.subpixel,
+                uniqueness=sgm_cfg.uniqueness if sgm_cfg.uniqueness > 0 else 0.0,
+                lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
+                interpret=interpret,
+            )
+            valid = maps.valid if mask is None else maps.valid & mask
+            res = DisparityResult(
+                disparity=jnp.where(valid, maps.disparity, INVALID_DISPARITY),
+                cost=maps.cost,
+                valid=valid,
             )
         else:
             vol = fused_cost_volume(
@@ -128,25 +173,24 @@ def two_view_disparity(
                 dtype=dtype,
                 layout="hdw",
             )
-        pen = (lambda v: round(v * scale)) if integer_costs else (lambda v: v)
-        agg = sgm_aggregate_pallas_hdw(
-            vol,
-            p1=pen(sgm_cfg.p1),
-            p2=pen(sgm_cfg.p2),
-            num_paths=sgm_cfg.num_paths,
-            image=left,
-            adaptive_p2=sgm_cfg.adaptive_p2,
-            p2_min=pen(sgm_cfg.p2_min),
-            interpret=interpret,
-        )
-        res = extract_disparity_hdw(
-            agg,
-            subpixel=sgm_cfg.subpixel,
-            uniqueness=sgm_cfg.uniqueness if sgm_cfg.uniqueness > 0 else 0.0,
-            lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
-            mask=mask,
-            interpret=interpret,
-        )
+            agg = sgm_aggregate_pallas_hdw(
+                vol,
+                p1=sgm_cfg.p1,
+                p2=sgm_cfg.p2,
+                num_paths=sgm_cfg.num_paths,
+                image=left,
+                adaptive_p2=sgm_cfg.adaptive_p2,
+                p2_min=sgm_cfg.p2_min,
+                interpret=interpret,
+            )
+            res = extract_disparity_hdw(
+                agg,
+                subpixel=sgm_cfg.subpixel,
+                uniqueness=sgm_cfg.uniqueness if sgm_cfg.uniqueness > 0 else 0.0,
+                lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
+                mask=mask,
+                interpret=interpret,
+            )
         # winning cost: expose the same (H, W) minimum the XLA path reports
         cost_map = res.cost
     else:

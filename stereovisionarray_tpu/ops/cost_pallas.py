@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from stereovisionarray_tpu.ops.census import census_transform
 from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
 
-__all__ = ["fused_cost_volume_pallas_hdw"]
+__all__ = ["fused_cost_volume_pallas_hdw", "fused_cost_volume_pallas_wdh"]
 
 
 def _shifted_rows(row, n_rows, w):
@@ -132,6 +132,179 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
         return 0
 
     jax.lax.fori_loop(0, rows, body, 0)
+
+
+# --------------------------------------------------------------------- #
+# (W, D, H) builder — the transposed-volume twin, and the ROLL-FREE one.
+#
+# In (W, D, H) layout the disparity-shift axis (W) rides the GRID/sublane
+# dims, not lanes: the D shifted right-census rows for output row x are a
+# CONTIGUOUS ascending sublane window of a REVERSED transposed right
+# image (rev[k] = right_T[W-1-k]  =>  right_T[x-d] = rev[(W-1-x)+d]), so
+# the whole barrel apparatus of the (H, D, W) builder disappears — slab
+# construction is pure static slicing. Feeds the horizontal SGM sweeps
+# directly, replacing the XLA (H,D,W)->(W,D,H) volume transpose (~0.32 ms
+# at 540x768x64, 2.5x its HBM bound).
+#
+# Mosaic constraint (scripts/probe_dynamic_slab2.py): a DYNAMIC sublane
+# slice start derived from program_id crashes the v5e compiler; static
+# starts are fine. The window [W-x-1, W-x+D] moves exactly R rows per
+# grid step, so the reversed arrays are passed V = 1 + ceil((D+1)/R)
+# times with block index maps (nb-1-i), (nb-i), ... — concatenating the
+# views gives a (V*R, H) slab in which every per-row offset is STATIC
+# (row r reads [R-r-1, R-r+D]).
+# --------------------------------------------------------------------- #
+
+
+def _wdh_kernel(*refs, rows, n_disp, n_planes, n_views, n_bits, bt_weight,
+                bt_clip):
+    # refs: [cl_p blocks (P), lt, lmn, lmx (blocked (rows, H)),
+    #        crev_p views (P * V), rrev views (V), out]
+    D = n_disp
+    P, V = n_planes, n_views
+    cl_refs = refs[:P]
+    lt_ref, lmn_ref, lmx_ref = refs[P : P + 3]
+    crev_refs = [refs[P + 3 + p * V : P + 3 + (p + 1) * V] for p in range(P)]
+    rrev_refs = refs[P + 3 + P * V : P + 3 + (P + 1) * V]
+    out_ref = refs[-1]
+    h = out_ref.shape[-1]
+    i = pl.program_id(0)
+
+    # one (V*R, H) window per reversed array, shared by all rows in block
+    crev = [jnp.concatenate([v[:] for v in crev_refs[p]], axis=0)
+            for p in range(P)]
+    rrev = jnp.concatenate([v[:] for v in rrev_refs], axis=0)
+
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, h), 0)
+    worst = float(n_bits) + (bt_weight * bt_clip if bt_weight > 0.0 else 0.0)
+
+    # Python-unrolled rows: every slice start below must be STATIC — a
+    # traced start (fori_loop index) crashes the v5e Mosaic compiler
+    # (scripts/probe_dynamic_slab2.py). The per-row trace is ~35 plain
+    # slab ops (no barrels), so the unroll stays compile-friendly.
+    for r in range(rows):
+        # out[x, d, y] with x = i*rows + r; window-local position of ext
+        # row (W - x) is rows - r — static. Only the OOB mask sees i.
+        x = i * rows + r
+        ham = None
+        for p in range(P):
+            cl = cl_refs[p][r][None, :]  # (1, H) uint32
+            cr_sh = crev[p][rows - r : rows - r + D]
+            pc = jax.lax.population_count(cl ^ cr_sh).astype(jnp.int32)
+            ham = pc if ham is None else ham + pc
+
+        cost_f = ham.astype(jnp.float32)
+        if bt_weight > 0.0:
+            lt = lt_ref[r][None, :]  # (1, H) f32
+            l_mn = lmn_ref[r][None, :]
+            l_mx = lmx_ref[r][None, :]
+            rs = rrev[rows - r : rows - r + D]
+            up = rrev[rows - r + 1 : rows - r + 1 + D]
+            dn = rrev[rows - r - 1 : rows - r - 1 + D]
+            m3mn = jnp.minimum(jnp.minimum(up, dn), rs)
+            m3mx = jnp.maximum(jnp.maximum(up, dn), rs)
+            rmn = 0.5 * (rs + m3mn)
+            rmx = 0.5 * (rs + m3mx)
+            d_lr = jnp.maximum(0.0, jnp.maximum(lt - rmx, rmn - lt))
+            d_rl = jnp.maximum(0.0, jnp.maximum(rs - l_mx, l_mn - rs))
+            bt = jnp.minimum(jnp.minimum(d_lr, d_rl), bt_clip)
+            cost_f = cost_f + bt_weight * bt
+
+        cost_f = jnp.where(d_iota > x, worst, cost_f)
+        out_ref[r] = jnp.round(cost_f * COST_SCALE).astype(jnp.int16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_disparities", "census_window", "bt_weight", "bt_clip",
+        "block_rows", "interpret",
+    ),
+)
+def fused_cost_volume_pallas_wdh(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disparities: int,
+    census_window: Tuple[int, int] = (7, 9),
+    bt_weight: float = 0.25,
+    bt_clip: float = 32.0,
+    block_rows: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(W, D, H) int16 census+BT cost volume — ``transpose(hdw, (2,1,0))``
+    of :func:`fused_cost_volume_pallas_hdw`, built directly (bit-exact,
+    zero lane rolls). Producer for the horizontal sweeps of
+    ``sgm_pallas.sgm_extract_fused_hdw``."""
+    h, w = left.shape
+    D = num_disparities
+    R = block_rows
+    if w % R != 0:
+        raise ValueError(f"W={w} must be divisible by block_rows={R}")
+    wh, ww = census_window
+    n_bits = wh * ww - 1
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    cl = census_transform(left, census_window)  # (H, W, P) uint32
+    cr = census_transform(right, census_window)
+    n_planes = cl.shape[-1]
+
+    def half_pix_bounds(img):
+        lh = 0.5 * (img + jnp.roll(img, 1, axis=-1))
+        rh = 0.5 * (img + jnp.roll(img, -1, axis=-1))
+        return (jnp.minimum(jnp.minimum(lh, rh), img),
+                jnp.maximum(jnp.maximum(lh, rh), img))
+
+    l_mn, l_mx = half_pix_bounds(left)
+
+    nb = w // R
+    n_views = 1 + -(-(D + 1) // R)  # window is R+D+1 rows from block-aligned lo
+    ext_blocks = nb + n_views - 1
+
+    def rev_ext(img_t):
+        # ext[g]: g=0 -> row 0 (the circular r[-1] partner of jnp.roll);
+        # g in [1, W] -> reversed rows; beyond -> circular continuation;
+        # zero-pad to ext_blocks*R rows (never read).
+        rev = img_t[::-1]
+        ext = jnp.concatenate([img_t[:1], rev, rev[:D]], axis=0)
+        pad = ext_blocks * R - ext.shape[0]
+        return jnp.pad(ext, ((0, pad), (0, 0)))
+
+    cl_t = [jnp.transpose(cl[..., p]) for p in range(n_planes)]  # (W, H)
+    crev = [rev_ext(jnp.transpose(cr[..., p])) for p in range(n_planes)]
+    rrev = rev_ext(jnp.transpose(right))
+    lt_t = jnp.transpose(left)
+    lmn_t = jnp.transpose(l_mn)
+    lmx_t = jnp.transpose(l_mx)
+
+    idx_blk = lambda i: (i, 0)
+    spec_blk = pl.BlockSpec((R, h), idx_blk, memory_space=pltpu.VMEM)
+    view_specs = [
+        pl.BlockSpec((R, h), (lambda k: (lambda i: (nb - 1 - i + k, 0)))(k),
+                     memory_space=pltpu.VMEM)
+        for k in range(n_views)
+    ]
+    # each reversed array is passed n_views times (one per shifted view)
+    operands = [*cl_t, lt_t, lmn_t, lmx_t]
+    in_specs = [spec_blk] * len(operands)
+    for c in crev:
+        operands.extend([c] * n_views)
+        in_specs.extend(view_specs)
+    operands.extend([rrev] * n_views)
+    in_specs.extend(view_specs)
+
+    return pl.pallas_call(
+        functools.partial(
+            _wdh_kernel, rows=R, n_disp=D, n_planes=n_planes,
+            n_views=n_views, n_bits=n_bits, bt_weight=float(bt_weight),
+            bt_clip=float(bt_clip),
+        ),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, D, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w, D, h), jnp.int16),
+        interpret=interpret,
+    )(*operands)
 
 
 @functools.partial(

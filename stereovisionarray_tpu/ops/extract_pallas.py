@@ -150,51 +150,103 @@ def _barrel_broadcast(row, D, w, left: bool, fill):
     return out[:D] if out.shape[0] != D else out
 
 
+def extract_row_maps(a16, D, subpixel, uniqueness, lr_max_diff):
+    """Extraction math for ONE (D, W) aggregated slab in the volume dtype.
+
+    Returns ``(d_sub, cost, ok)``, each ``(1, W)`` (f32, f32, bool). Shared
+    by the standalone extraction kernel below and the fused
+    final-sweep-plus-extraction kernel in ``ops/sgm_pallas.py`` (which has
+    the slab in registers and skips the extra volume write + read)."""
+    compute_dtype = jnp.int32 if a16.dtype == jnp.int16 else a16.dtype
+    a = a16.astype(compute_dtype)  # reductions need >= i32 (Mosaic)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    cmin, d_int, d_c, cm, c0, cp, second = _wta_row(a, d_iota, D)
+    d_sub = (
+        _subpixel(d_int, d_c, cm, c0, cp, D, a.dtype)
+        if subpixel
+        else d_int.astype(jnp.float32)
+    )
+    cost = cmin.astype(jnp.float32)
+
+    ok = jnp.ones(cmin.shape, dtype=jnp.bool_)
+    if uniqueness > 0.0:
+        ok &= cost < uniqueness * second.astype(jnp.float32)
+    if lr_max_diff > 0.0:
+        # right-view volume rows: a_r[d, x] = a[d, x + d]. The barrel is
+        # pure shifts+selects (no reductions), so it runs on the NARROW
+        # volume dtype — half the VPU slots for int16 volumes — and
+        # upcasts only for the reduce-based WTA that follows.
+        ar = _barrel(a16, d_iota, D, left=True,
+                     fill=_big_for(a16.dtype)).astype(compute_dtype)
+        _, dr_int, dr_c, rm, r0, rp, _ = _wta_row(ar, d_iota, D)
+        dr_sub = (
+            _subpixel(dr_int, dr_c, rm, r0, rp, D, a.dtype)
+            if subpixel
+            else dr_int.astype(jnp.float32)
+        )
+        # LR gather: R2[d, x] = d_R(x - d); pick row d = round(d_L(x))
+        r2 = _barrel_broadcast(dr_sub, D, a.shape[1], left=False,
+                               fill=_BIG)
+        dl_int = jnp.clip(
+            jnp.round(d_sub).astype(jnp.int32), 0, D - 1
+        )  # (1, W)
+        at = jnp.sum(
+            jnp.where(d_iota == dl_int, r2, 0.0), axis=0, keepdims=True
+        )
+        ok &= jnp.abs(d_sub - at) <= lr_max_diff
+        ok &= at < _BIG  # x - d_L out of image -> no evidence
+    return d_sub, cost, ok
+
+
 def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, *, rows, n_disp,
                     subpixel, uniqueness, lr_max_diff):
-    D = n_disp
-    compute_dtype = jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
     for r in range(rows):
         a16 = vol_ref[r]  # (D, W) in the VOLUME dtype (int16 on the fast path)
-        a = a16.astype(compute_dtype)  # reductions need >= i32 (Mosaic)
-        d_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-        cmin, d_int, d_c, cm, c0, cp, second = _wta_row(a, d_iota, D)
-        d_sub = (
-            _subpixel(d_int, d_c, cm, c0, cp, D, a.dtype)
-            if subpixel
-            else d_int.astype(jnp.float32)
+        d_sub, cost, ok = extract_row_maps(
+            a16, n_disp, subpixel, uniqueness, lr_max_diff
         )
         disp_ref[r] = d_sub[0]
-        cost_ref[r] = cmin[0].astype(jnp.float32)
-
-        ok = jnp.ones(cmin.shape, dtype=jnp.bool_)
-        if uniqueness > 0.0:
-            ok &= cmin.astype(jnp.float32) < uniqueness * second.astype(jnp.float32)
-        if lr_max_diff > 0.0:
-            # right-view volume rows: a_r[d, x] = a[d, x + d]. The barrel is
-            # pure shifts+selects (no reductions), so it runs on the NARROW
-            # volume dtype — half the VPU slots for int16 volumes — and
-            # upcasts only for the reduce-based WTA that follows.
-            ar = _barrel(a16, d_iota, D, left=True,
-                         fill=_big_for(a16.dtype)).astype(compute_dtype)
-            _, dr_int, dr_c, rm, r0, rp, _ = _wta_row(ar, d_iota, D)
-            dr_sub = (
-                _subpixel(dr_int, dr_c, rm, r0, rp, D, a.dtype)
-                if subpixel
-                else dr_int.astype(jnp.float32)
-            )
-            # LR gather: R2[d, x] = d_R(x - d); pick row d = round(d_L(x))
-            r2 = _barrel_broadcast(dr_sub, D, a.shape[1], left=False,
-                                   fill=_BIG)
-            dl_int = jnp.clip(
-                jnp.round(d_sub).astype(jnp.int32), 0, D - 1
-            )  # (1, W)
-            at = jnp.sum(
-                jnp.where(d_iota == dl_int, r2, 0.0), axis=0, keepdims=True
-            )
-            ok &= jnp.abs(d_sub - at) <= lr_max_diff
-            ok &= at < _BIG  # x - d_L out of image -> no evidence
+        cost_ref[r] = cost[0]
         valid_ref[r] = ok[0]
+
+
+def _lr_check_kernel(dl_ref, dr_ref, ok_ref, *, rows, n_disp):
+    """Left-right consistency on (H, W) MAPS: ok[y, x] =
+    |d_L(y, x) - d_R(y, x - round(d_L))| <= lr_max_diff is evaluated by the
+    caller; this kernel only produces at[y, x] = d_R(y, x - dl_int) with
+    BIG where x - dl_int is out of image — the same reverse broadcast
+    barrel + one-hot reduce as the in-volume extraction kernel, but over
+    1000x less data (maps, not volumes)."""
+    D = n_disp
+    for r in range(rows):
+        dl = dl_ref[r][None, :]  # (1, W) f32
+        dr = dr_ref[r][None, :]
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, dl.shape[1]), 0)
+        r2 = _barrel_broadcast(dr, D, dl.shape[1], left=False, fill=_BIG)
+        dl_int = jnp.clip(jnp.round(dl).astype(jnp.int32), 0, D - 1)
+        at = jnp.sum(
+            jnp.where(d_iota == dl_int, r2, 0.0), axis=0, keepdims=True
+        )
+        ok_ref[r] = at[0]
+
+
+def lr_gather_maps(disp_l, disp_r, n_disp, interpret: bool = False):
+    """at(y, x) = disp_r(y, x - round(disp_l(y, x))), BIG out of image.
+
+    disp_l/disp_r: (H, W) f32 maps (left/right subpixel disparity)."""
+    h, w = disp_l.shape
+    rows = 8
+    nblocks = pl.cdiv(h, rows)
+    idx2 = lambda i: (i, 0)
+    spec = pl.BlockSpec((rows, w), idx2, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lr_check_kernel, rows=rows, n_disp=int(n_disp)),
+        grid=(nblocks,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        interpret=interpret,
+    )(disp_l.astype(jnp.float32), disp_r.astype(jnp.float32))
 
 
 class ExtractMaps(NamedTuple):

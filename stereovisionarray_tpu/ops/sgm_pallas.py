@@ -396,6 +396,7 @@ def sgm_aggregate_pallas_sweeps(
     adaptive_p2: bool = False,
     p2_min: float = 24.0,
     interpret: bool = False,
+    vol_t: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Partial SGM aggregation over a SUBSET of the 4 sweep directions on an
     (H, D, W) volume. ``sum(sweeps) == sgm_aggregate_pallas_hdw`` — each
@@ -453,7 +454,9 @@ def sgm_aggregate_pallas_sweeps(
         add(vert_fwd)
 
     if "lr" in sweeps or "rl" in sweeps:
-        vol_t = transpose_hdw(vol, interpret)  # (W, D, H)
+        if vol_t is None:  # (W, D, H) twin: prebuilt by the roll-free
+            # cost_pallas builder on the fast path, XLA transpose otherwise
+            vol_t = transpose_hdw(vol, interpret)
         p2_x_t = jnp.transpose(p2_x, (1, 0))  # (W, H)
         horiz = None
         if "lr" in sweeps:
@@ -479,12 +482,16 @@ def sgm_aggregate_pallas_hdw(
     adaptive_p2: bool = False,
     p2_min: float = 24.0,
     interpret: bool = False,
+    vol_t: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """8-path SGM over an (H, D, W) cost volume (see
     ``cost_volume.fused_cost_volume(layout="hdw")``). Returns (H, D, W).
 
     Same semantics as ``sgm_aggregate`` modulo float-sum order; ~2x the
-    lane utilization of the (H, W, D) kernels when D < 128."""
+    lane utilization of the (H, W, D) kernels when D < 128. ``vol_t``
+    optionally supplies the (W, D, H) twin (identical costs — e.g. from
+    ``cost_pallas.fused_cost_volume_pallas_wdh``), skipping the internal
+    XLA volume transpose for the horizontal sweeps."""
     return sgm_aggregate_pallas_sweeps(
         vol,
         sweeps=ALL_SWEEPS,
@@ -495,6 +502,7 @@ def sgm_aggregate_pallas_hdw(
         adaptive_p2=adaptive_p2,
         p2_min=p2_min,
         interpret=interpret,
+        vol_t=vol_t,
     )
 
 
@@ -536,6 +544,496 @@ def sgm_aggregate_pallas(
     rl = _sweep(vol_t, p2_x_t, p1, reverse=True, diagonals=False, interpret=interpret)
 
     return down + up + jnp.swapaxes(lr + rl, 0, 1)
+
+
+# --------------------------------------------------------------------- #
+# Fused final sweep + extraction: the LAST (up) sweep completes the
+# 8-path total row by row — extraction (WTA/subpixel/uniqueness/LR) is
+# row-independent, so running it on the in-register total rows skips BOTH
+# the total-volume write and the extraction kernel's re-read (2 of the
+# pipeline's ~15 HBM volume passes). Outputs are the three (H, W) maps.
+# --------------------------------------------------------------------- #
+
+
+def _sweep_extract_kernel(vol_ref, p2_ref, acc_ref, disp_ref, cost_ref,
+                          valid_ref, *carries, p1, rows, n_disp, diagonals,
+                          subpixel, uniqueness, lr_max_diff):
+    """Reverse (bottom-up) vertical sweep with extraction fused in.
+
+    acc_ref holds the sum of every OTHER path group (down-group sweep that
+    itself accumulated the transposed horizontal sweeps), so
+    ``acc + this_sweep`` is the final aggregated total for the row. The
+    extraction math is shared with the standalone kernel
+    (``extract_pallas.extract_row_maps``)."""
+    from stereovisionarray_tpu.ops.extract_pallas import extract_row_maps
+
+    D = n_disp
+    i = pl.program_id(0)
+    compute_dtype = jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
+    narrow = (
+        (lambda x: x.astype(vol_ref.dtype))
+        if compute_dtype != vol_ref.dtype
+        else (lambda x: x)
+    )
+
+    def emit(r, total):
+        a16 = narrow(total)  # extraction barrels run on the narrow dtype
+        d_sub, cost, ok = extract_row_maps(
+            a16, D, subpixel, uniqueness, lr_max_diff
+        )
+        disp_ref[r] = d_sub
+        cost_ref[r] = cost
+        valid_ref[r] = ok
+
+    for r in range(rows - 1, -1, -1):
+        row = vol_ref[r].astype(compute_dtype)  # (D, N)
+        p2 = p2_ref[r].astype(compute_dtype)  # (1, N)
+        acc = acc_ref[r].astype(compute_dtype)
+
+        if diagonals:
+            def step(row=row, p2=p2, r=r, acc=acc):
+                carry = carries[0]
+                prev = carry[:]  # (3D, N): [axis, diag+1, diag-1]
+                shifted = jnp.concatenate(
+                    [
+                        prev[:D],
+                        _shift_lanes(prev[D : 2 * D], +1),
+                        _shift_lanes(prev[2 * D :], -1),
+                    ],
+                    axis=0,
+                )
+                p1c = _const(p1, shifted)
+                one = _const(1, shifted)
+                s3 = shifted.reshape(3, D, -1)
+                prev_min = jnp.min(s3, axis=1, keepdims=True)
+                up = jnp.concatenate(
+                    [s3[:, :1] + p1c + one, s3[:, :-1] + p1c], axis=1
+                )
+                dn = jnp.concatenate(
+                    [s3[:, 1:] + p1c, s3[:, -1:] + p1c + one], axis=1
+                )
+                best = jnp.minimum(
+                    jnp.minimum(s3, prev_min + p2[None]), jnp.minimum(up, dn)
+                )
+                l3 = row[None] + (best - prev_min)
+                carry[:] = l3.reshape(3 * D, -1)
+                emit(r, acc + l3.sum(axis=0))
+        else:
+            def step(row=row, p2=p2, r=r, acc=acc):
+                (c0,) = carries
+                l0 = _recurrence_dw(c0[:], row, p1, p2)
+                c0[:] = l0
+                emit(r, acc + l0)
+
+        if r == rows - 1:
+            @pl.when(i == 0)
+            def _(row=row, acc=acc, r=r):
+                if diagonals:
+                    carries[0][:] = jnp.concatenate([row, row, row], axis=0)
+                    emit(r, acc + _const(3, row) * row)
+                else:
+                    carries[0][:] = row
+                    emit(r, acc + row)
+
+            @pl.when(i > 0)
+            def _():
+                step()
+        else:
+            step()
+
+
+def _sweep_hdw_extract(vol, p2_map, p1, acc, diagonals, interpret,
+                       subpixel, uniqueness, lr_max_diff):
+    """Final up-sweep over axis 0 of (S, D, N) vol, extraction fused.
+
+    acc: (S, D, N) sum of the other path groups. Returns (disp, cost,
+    valid), each (S, N)."""
+    s, d, n = vol.shape
+    rows = _block_rows(s)
+    nblocks = s // rows
+    idx = lambda i: (nblocks - 1 - i, 0, 0)
+    carry_shape = (3 * d, n) if diagonals else (d, n)
+    # Map outputs are (S, 1, N) with (rows, 1, N) blocks: a 2D (rows, N)
+    # block would need rows % 8 == 0, which no divisor of 540 satisfies —
+    # the singleton middle axis rides the equal-to-array exemption.
+    out3 = lambda dt: (
+        pl.BlockSpec((rows, 1, n), idx, memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((s, 1, n), dt),
+    )
+    (dspec, dshape), (cspec, cshape), (vspec, vshape) = (
+        out3(jnp.float32), out3(jnp.float32), out3(jnp.bool_),
+    )
+    disp, cost, valid = pl.pallas_call(
+        functools.partial(
+            _sweep_extract_kernel, p1=float(p1), rows=rows, n_disp=d,
+            diagonals=diagonals, subpixel=bool(subpixel),
+            uniqueness=float(uniqueness), lr_max_diff=float(lr_max_diff),
+        ),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, n), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(dspec, cspec, vspec),
+        out_shape=(dshape, cshape, vshape),
+        scratch_shapes=[pltpu.VMEM(carry_shape, _carry_dtype(vol.dtype))],
+        interpret=interpret,
+    )(vol, p2_map[:, None, :], acc)
+    return disp[:, 0], cost[:, 0], valid[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "p1", "num_paths", "adaptive_p2", "subpixel", "uniqueness",
+        "lr_max_diff", "interpret",
+    ),
+)
+def sgm_extract_fused_hdw(
+    vol: jnp.ndarray,
+    vol_t: Optional[jnp.ndarray] = None,
+    p1: float = 8.0,
+    p2: float = 96.0,
+    num_paths: int = 8,
+    image: Optional[jnp.ndarray] = None,
+    adaptive_p2: bool = False,
+    p2_min: float = 24.0,
+    subpixel: bool = True,
+    uniqueness: float = 0.0,
+    lr_max_diff: float = 0.0,
+    interpret: bool = False,
+):
+    """8-path SGM + extraction with the minimum number of HBM volume passes.
+
+    vol: (H, D, W) cost volume; vol_t: the SAME costs in (W, D, H) layout
+    (from ``cost_pallas.fused_cost_volume_pallas_wdh``, or transposed here
+    when None). Horizontal sweeps run first on vol_t; their transposed sum
+    seeds the down-group sweep as an aliased accumulator; the final
+    up-group sweep emits the extraction maps directly from the in-register
+    totals — the aggregated volume itself is never written to HBM.
+
+    Integer volumes produce BIT-IDENTICAL results to
+    ``sgm_aggregate_pallas_hdw`` + ``extract_disparity_hdw`` (integer adds
+    reassociate exactly); float volumes match modulo sum order.
+
+    Returns an ``extract_pallas.ExtractMaps`` (disparity, cost, valid).
+    """
+    from stereovisionarray_tpu.ops.extract_pallas import ExtractMaps
+
+    if num_paths not in (4, 8):
+        raise ValueError("num_paths must be 4 or 8")
+    h, d, w = vol.shape
+    dtype = vol.dtype
+    if vol_t is None:
+        vol_t = transpose_hdw(vol, interpret)
+
+    if adaptive_p2 and image is not None:
+        p2_y = _edge_p2(image, 0, p2, p2_min, dtype)  # (H, W)
+        p2_x = _edge_p2(image, 1, p2, p2_min, dtype)
+    else:
+        p2_y = jnp.full((h, w), jnp.asarray(p2, dtype))
+        p2_x = p2_y
+    p2_x_t = jnp.transpose(p2_x, (1, 0))  # (W, H)
+
+    diagonals = num_paths == 8
+    horiz = _sweep_hdw(vol_t, p2_x_t, p1, False, False, interpret)
+    horiz = _sweep_hdw(vol_t, p2_x_t, p1, True, False, interpret, acc=horiz)
+    horiz_t = transpose_hdw(horiz, interpret)  # (H, D, W)
+    down = (
+        _sweep_hdw_stacked(vol, p2_y, p1, False, interpret, acc=horiz_t)
+        if diagonals
+        else _sweep_hdw(vol, p2_y, p1, False, False, interpret, acc=horiz_t)
+    )
+    disp, cost, valid = _sweep_hdw_extract(
+        vol, p2_y, p1, down, diagonals, interpret, subpixel, uniqueness,
+        lr_max_diff,
+    )
+    return ExtractMaps(disparity=disp, cost=cost, valid=valid)
+
+
+# --------------------------------------------------------------------- #
+# Fused final RL sweep + extraction in the (W, D, H) layout: the reverse
+# horizontal sweep completes the 8-path total column by column, and in
+# this layout BOTH extraction views are cheap:
+#   - the left WTA/subpixel/uniqueness read the completed (D, H) column
+#     directly (D on sublanes, exactly like the (H, D, W) extraction);
+#   - the RIGHT-view WTA — ar[d, x'] = total[d, x' + d], a lane barrel
+#     costing log2(D) full-slab rolls in the row-major kernel — becomes a
+#     STREAMING anti-diagonal reduction: pending right-column x' sits at
+#     sublane j = x - x' of a (D, H) buffer set; every sweep step merges
+#     the new total column elementwise (position j receives its d = j
+#     candidate) and ages the buffers by ONE sublane shift. Lane rolls
+#     (the expensive op class on this chip) are eliminated entirely from
+#     extraction; the completed right column falls out at j = 0.
+# Only the map-level LR gather d_R(x - d_L(x)) remains outside (it needs
+# future columns) — extract_pallas.lr_gather_maps runs it over (H, W)
+# maps, ~1000x less data than a volume pass.
+# --------------------------------------------------------------------- #
+
+
+def _rl_extract_kernel(vol_ref, p2_ref, acc_ref, displ_ref, cost_ref,
+                       validu_ref, dispr_ref, carry, pbest, bidx, prev, cmb,
+                       cpb, updl, *, p1, rows, n_disp, subpixel, uniqueness):
+    """Reverse (right-to-left) horizontal sweep over a (W, D, H) volume
+    with both extraction views fused in.
+
+    acc_ref: sum of every other path group (vertical sweeps, transposed,
+    accumulated through the forward horizontal sweep), so acc + this sweep
+    is the final aggregated total for the column. Emits per column x:
+    left subpixel disparity / winning cost / uniqueness validity, and the
+    RIGHT-view subpixel disparity d_R(x) — bit-identical to running
+    ``extract_pallas.extract_row_maps`` on the assembled total volume
+    (same packed-WTA tie-breaks, same BIG fills for out-of-image
+    right-view candidates, see the parity test in tests/test_sgm_pallas.py).
+
+    Streaming right-WTA state (all (D, H) VMEM scratch, sublane j =
+    pending right column x - j; candidates arrive in DESCENDING d = j):
+      pbest  packed (cost << lg) | d running min (int volumes) or cost
+             running min (float volumes, bidx carries the argmin)
+      prev   last merged candidate column -> the d+1 neighbour of a
+             winner at d (set at the winner's merge)
+      cmb    the d-1 neighbour (the candidate one step AFTER the winner:
+             resolved via the updl flag)
+      cpb    the d+1 neighbour of the running winner
+      updl   1 where the previous step's merge updated the winner
+    """
+    from stereovisionarray_tpu.ops.extract_pallas import (
+        _big_for,
+        _subpixel,
+        extract_row_maps,
+    )
+
+    D = n_disp
+    i = pl.program_id(0)
+    int_path = vol_ref.dtype == jnp.int16
+    compute_dtype = jnp.int32 if int_path else vol_ref.dtype
+    narrow = (
+        (lambda x: x.astype(vol_ref.dtype))
+        if compute_dtype != vol_ref.dtype
+        else (lambda x: x)
+    )
+    big = _big_for(vol_ref.dtype)
+    lg = (D - 1).bit_length()
+
+    h = vol_ref.shape[-1]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, h), 0)
+
+    @pl.when(i == 0)
+    def _init():
+        if int_path:
+            pbest[:] = jnp.full((D, h), (big << lg) | D, jnp.int32)
+        else:
+            pbest[:] = jnp.full((D, h), big, compute_dtype)
+            bidx[:] = jnp.full((D, h), D, jnp.int32)
+        prev[:] = jnp.full((D, h), big, compute_dtype)
+        cmb[:] = jnp.full((D, h), big, compute_dtype)
+        cpb[:] = jnp.full((D, h), big, compute_dtype)
+        updl[:] = jnp.zeros((D, h), jnp.int32)
+
+    def shift_down(buf, fill):
+        # pending columns age one position per step: new[j] = old[j+1]
+        return jnp.concatenate(
+            [buf[1:], jnp.full_like(buf[:1], fill)], axis=0
+        )
+
+    def emit(r, total):
+        a16 = narrow(total)
+        c = a16.astype(compute_dtype)  # candidate column, stored-int16 bits
+
+        # left view: same code as the standalone volume-extraction kernel
+        d_sub, cost, ok = extract_row_maps(a16, D, subpixel, uniqueness, 0.0)
+
+        # right view: age buffers, resolve pending cm, merge candidates
+        pv = shift_down(prev[:], big)
+        cm = shift_down(cmb[:], big)
+        cp = shift_down(cpb[:], big)
+        ul = shift_down(updl[:], 0)
+        cm = jnp.where(ul == 1, c, cm)
+        if int_path:
+            pb = shift_down(pbest[:], (big << lg) | D)
+            pc = (c << lg) | d_iota
+            upd = pc < pb
+            pb = jnp.minimum(pb, pc)
+            pbest[:] = pb
+            cmin_r = pb[:1] >> lg
+            dint_r = pb[:1] & ((1 << lg) - 1)
+        else:
+            pb = shift_down(pbest[:], big)
+            bi = shift_down(bidx[:], D)
+            # descending-d arrival: <= makes later (smaller d) candidates
+            # win ties — the standalone's smallest-d tie-break
+            upd = c <= pb
+            pb = jnp.minimum(pb, c)
+            bi = jnp.where(upd, d_iota, bi)
+            pbest[:] = pb
+            bidx[:] = bi
+            cmin_r = pb[:1]
+            dint_r = bi[:1]
+        cp = jnp.where(upd, pv, cp)
+        prev[:] = c
+        cmb[:] = cm
+        cpb[:] = cp
+        updl[:] = upd.astype(jnp.int32)
+
+        d_c = jnp.clip(dint_r, 1, D - 2)
+        if subpixel:
+            dr = _subpixel(dint_r, d_c, cm[:1], cmin_r, cp[:1], D,
+                           compute_dtype)
+        else:
+            dr = dint_r.astype(jnp.float32)
+
+        displ_ref[r] = d_sub
+        cost_ref[r] = cost
+        validu_ref[r] = ok
+        dispr_ref[r] = dr
+
+    for r in range(rows - 1, -1, -1):
+        row = vol_ref[r].astype(compute_dtype)  # (D, H)
+        p2 = p2_ref[r].astype(compute_dtype)  # (1, H)
+        acc = acc_ref[r].astype(compute_dtype)
+
+        if r == rows - 1:
+            @pl.when(i == 0)
+            def _(row=row, acc=acc, r=r):
+                carry[:] = row
+                emit(r, acc + row)
+
+            @pl.when(i > 0)
+            def _(row=row, p2=p2, acc=acc, r=r):
+                l0 = _recurrence_dw(carry[:], row, p1, p2)
+                carry[:] = l0
+                emit(r, acc + l0)
+        else:
+            l0 = _recurrence_dw(carry[:], row, p1, p2)
+            carry[:] = l0
+            emit(r, acc + l0)
+
+
+def _rl_extract_wdh(vol_t, p2_map_t, p1, acc, interpret, subpixel,
+                    uniqueness):
+    """Final reverse horizontal sweep over (W, D, H) vol_t with fused
+    two-view extraction. acc: (W, D, H) sum of the other path groups.
+    Returns (disp_l, cost, valid_u, disp_r), each (W, H) (column-major —
+    the orchestrator transposes the small maps)."""
+    w, d, h = vol_t.shape
+    rows = _block_rows(w)
+    nblocks = w // rows
+    idx = lambda i: (nblocks - 1 - i, 0, 0)
+    cdt = _carry_dtype(vol_t.dtype)
+    out3 = lambda dt: (
+        pl.BlockSpec((rows, 1, h), idx, memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((w, 1, h), dt),
+    )
+    specs, shapes = zip(out3(jnp.float32), out3(jnp.float32),
+                        out3(jnp.bool_), out3(jnp.float32))
+    displ, cost, validu, dispr = pl.pallas_call(
+        functools.partial(
+            _rl_extract_kernel, p1=float(p1), rows=rows, n_disp=d,
+            subpixel=bool(subpixel), uniqueness=float(uniqueness),
+        ),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, d, h), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, h), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d, h), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(specs),
+        out_shape=tuple(shapes),
+        scratch_shapes=[
+            pltpu.VMEM((d, h), cdt),  # carry
+            pltpu.VMEM((d, h), jnp.int32 if vol_t.dtype == jnp.int16 else cdt),  # pbest
+            pltpu.VMEM((d, h), jnp.int32),  # bidx (float path only)
+            pltpu.VMEM((d, h), cdt),  # prev
+            pltpu.VMEM((d, h), cdt),  # cmb
+            pltpu.VMEM((d, h), cdt),  # cpb
+            pltpu.VMEM((d, h), jnp.int32),  # updl
+        ],
+        interpret=interpret,
+    )(vol_t, p2_map_t[:, None, :], acc)
+    return displ[:, 0], cost[:, 0], validu[:, 0], dispr[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "p1", "num_paths", "adaptive_p2", "subpixel", "uniqueness",
+        "lr_max_diff", "interpret",
+    ),
+)
+def sgm_extract_fused_wdh(
+    vol: jnp.ndarray,
+    vol_t: Optional[jnp.ndarray] = None,
+    p1: float = 8.0,
+    p2: float = 96.0,
+    num_paths: int = 8,
+    image: Optional[jnp.ndarray] = None,
+    adaptive_p2: bool = False,
+    p2_min: float = 24.0,
+    subpixel: bool = True,
+    uniqueness: float = 0.0,
+    lr_max_diff: float = 0.0,
+    interpret: bool = False,
+):
+    """8-path SGM + two-view extraction with the horizontal sweeps LAST.
+
+    vol: (H, D, W) costs (vertical sweeps); vol_t: the SAME costs in
+    (W, D, H) layout (``cost_pallas.fused_cost_volume_pallas_wdh``; XLA
+    transpose when None). The vertical group runs first, its transposed
+    sum seeds the forward horizontal sweep as an aliased accumulator, and
+    the reverse horizontal sweep emits all extraction maps directly — the
+    aggregated volume never touches HBM, and the right-view WTA is a
+    streaming sublane reduction instead of lane barrels (see
+    ``_rl_extract_kernel``). Bit-identical to ``sgm_aggregate_pallas_hdw``
+    + ``extract_disparity_hdw`` for integer volumes.
+
+    Returns an ``extract_pallas.ExtractMaps`` (disparity, cost, valid),
+    each (H, W).
+    """
+    from stereovisionarray_tpu.ops.extract_pallas import (
+        _BIG,
+        ExtractMaps,
+        lr_gather_maps,
+    )
+
+    if num_paths not in (4, 8):
+        raise ValueError("num_paths must be 4 or 8")
+    h, d, w = vol.shape
+    dtype = vol.dtype
+    if vol_t is None:
+        vol_t = transpose_hdw(vol, interpret)
+
+    if adaptive_p2 and image is not None:
+        p2_y = _edge_p2(image, 0, p2, p2_min, dtype)  # (H, W)
+        p2_x = _edge_p2(image, 1, p2, p2_min, dtype)
+    else:
+        p2_y = jnp.full((h, w), jnp.asarray(p2, dtype))
+        p2_x = p2_y
+    p2_x_t = jnp.transpose(p2_x, (1, 0))  # (W, H)
+
+    diagonals = num_paths == 8
+    vert = (
+        _sweep_hdw_stacked(vol, p2_y, p1, False, interpret)
+        if diagonals
+        else _sweep_hdw(vol, p2_y, p1, False, False, interpret)
+    )
+    vert = (
+        _sweep_hdw_stacked(vol, p2_y, p1, True, interpret, acc=vert)
+        if diagonals
+        else _sweep_hdw(vol, p2_y, p1, True, False, interpret, acc=vert)
+    )
+    vert_t = transpose_hdw(vert, interpret)  # (W, D, H)
+    fwd = _sweep_hdw(vol_t, p2_x_t, p1, False, False, interpret, acc=vert_t)
+    displ, cost, validu, dispr = _rl_extract_wdh(
+        vol_t, p2_x_t, p1, fwd, interpret, subpixel, uniqueness,
+    )
+    disp_l = jnp.transpose(displ)  # (H, W)
+    cost = jnp.transpose(cost)
+    valid = jnp.transpose(validu)
+    if lr_max_diff > 0.0:
+        at = lr_gather_maps(disp_l, jnp.transpose(dispr), d, interpret)
+        valid = valid & (jnp.abs(disp_l - at) <= lr_max_diff) & (at < _BIG)
+    return ExtractMaps(disparity=disp_l, cost=cost, valid=valid)
 
 
 # --------------------------------------------------------------------- #

@@ -192,6 +192,115 @@ class TestHdwFastPath:
                 l, rt, D, census_window=(5, 5), interpret=True))
             np.testing.assert_array_equal(got, want)
 
+    def test_pallas_wdh_builder_matches_hdw_transpose(self):
+        """The roll-free (W, D, H) builder is the exact transpose of the
+        (H, D, W) builder (same int16 costs, zero lane rolls)."""
+        from stereovisionarray_tpu.ops.cost_pallas import (
+            fused_cost_volume_pallas_hdw,
+            fused_cost_volume_pallas_wdh,
+        )
+
+        r = np.random.default_rng(0)
+        b = r.uniform(0, 255, (44, 96)).astype(np.float32)
+        l = jnp.asarray(b[:, :80])
+        rt = jnp.asarray(b[:, 16:])
+        for D, bw in ((12, 0.25), (16, 0.0), (32, 0.25)):
+            hdw = np.asarray(fused_cost_volume_pallas_hdw(
+                l, rt, D, census_window=(5, 5), bt_weight=bw, interpret=True))
+            wdh = np.asarray(fused_cost_volume_pallas_wdh(
+                l, rt, D, census_window=(5, 5), bt_weight=bw, block_rows=8,
+                interpret=True))
+            np.testing.assert_array_equal(wdh, hdw.transpose(2, 1, 0))
+
+    @pytest.mark.parametrize("num_paths", [4, 8])
+    def test_fused_sweep_extract_bit_exact(self, num_paths):
+        """sgm_extract_fused_hdw (extraction fused into the final up-sweep,
+        no aggregated-volume HBM round trip) is bit-identical to
+        sgm_aggregate_pallas_hdw + extract_disparity_hdw for integer costs,
+        with and without a directly-built (W, D, H) twin volume."""
+        from stereovisionarray_tpu.ops.cost_pallas import (
+            fused_cost_volume_pallas_hdw,
+            fused_cost_volume_pallas_wdh,
+        )
+        from stereovisionarray_tpu.ops.extract_pallas import extract_disparity_hdw
+        from stereovisionarray_tpu.ops.sgm_pallas import (
+            sgm_aggregate_pallas_hdw,
+            sgm_extract_fused_hdw,
+        )
+        from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
+
+        r = np.random.default_rng(7)
+        b = r.uniform(0, 255, (44, 96)).astype(np.float32)
+        l = jnp.asarray(b[:, :80])
+        rt = jnp.asarray(b[:, 16:])
+        D = 16
+        vol = fused_cost_volume_pallas_hdw(l, rt, D, census_window=(5, 5),
+                                           interpret=True)
+        vol_t = fused_cost_volume_pallas_wdh(l, rt, D, census_window=(5, 5),
+                                             block_rows=8, interpret=True)
+        agg = sgm_aggregate_pallas_hdw(
+            vol, p1=32, p2=384, num_paths=num_paths, image=l,
+            adaptive_p2=True, p2_min=96, interpret=True)
+        want = extract_disparity_hdw(
+            agg, subpixel=True, uniqueness=0.95, lr_max_diff=1.5,
+            interpret=True)
+        for vt in (vol_t, None):  # None -> internal XLA transpose
+            got = sgm_extract_fused_hdw(
+                vol, vt, p1=32, p2=384, num_paths=num_paths, image=l,
+                adaptive_p2=True, p2_min=96, subpixel=True, uniqueness=0.95,
+                lr_max_diff=1.5, interpret=True)
+            gd = jnp.where(got.valid, got.disparity, INVALID_DISPARITY)
+            np.testing.assert_array_equal(np.asarray(want.valid),
+                                          np.asarray(got.valid))
+            np.testing.assert_array_equal(np.asarray(want.disparity),
+                                          np.asarray(gd))
+            np.testing.assert_array_equal(np.asarray(want.cost),
+                                          np.asarray(got.cost))
+
+    @pytest.mark.parametrize("num_paths", [4, 8])
+    def test_fused_rl_extract_bit_exact(self, num_paths):
+        """sgm_extract_fused_wdh (horizontal sweeps last, extraction fused
+        into the reverse sweep with a STREAMING right-view WTA, LR check on
+        maps) is bit-identical to aggregate + extract_disparity_hdw."""
+        from stereovisionarray_tpu.ops.cost_pallas import (
+            fused_cost_volume_pallas_hdw,
+            fused_cost_volume_pallas_wdh,
+        )
+        from stereovisionarray_tpu.ops.extract_pallas import extract_disparity_hdw
+        from stereovisionarray_tpu.ops.sgm_pallas import (
+            sgm_aggregate_pallas_hdw,
+            sgm_extract_fused_wdh,
+        )
+        from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
+
+        r = np.random.default_rng(9)
+        b = r.uniform(0, 255, (44, 96)).astype(np.float32)
+        l = jnp.asarray(b[:, :80])
+        rt = jnp.asarray(b[:, 16:])
+        D = 16
+        vol = fused_cost_volume_pallas_hdw(l, rt, D, census_window=(5, 5),
+                                           interpret=True)
+        vol_t = fused_cost_volume_pallas_wdh(l, rt, D, census_window=(5, 5),
+                                             block_rows=8, interpret=True)
+        agg = sgm_aggregate_pallas_hdw(
+            vol, p1=32, p2=384, num_paths=num_paths, image=l,
+            adaptive_p2=True, p2_min=96, interpret=True)
+        want = extract_disparity_hdw(
+            agg, subpixel=True, uniqueness=0.95, lr_max_diff=1.5,
+            interpret=True)
+        for vt in (vol_t, None):
+            got = sgm_extract_fused_wdh(
+                vol, vt, p1=32, p2=384, num_paths=num_paths, image=l,
+                adaptive_p2=True, p2_min=96, subpixel=True, uniqueness=0.95,
+                lr_max_diff=1.5, interpret=True)
+            gd = jnp.where(got.valid, got.disparity, INVALID_DISPARITY)
+            np.testing.assert_array_equal(np.asarray(want.valid),
+                                          np.asarray(got.valid))
+            np.testing.assert_array_equal(np.asarray(want.disparity),
+                                          np.asarray(gd))
+            np.testing.assert_array_equal(np.asarray(want.cost),
+                                          np.asarray(got.cost))
+
     def test_pallas_cost_builder_no_bt(self):
         from stereovisionarray_tpu.ops.cost_pallas import fused_cost_volume_pallas_hdw
         from stereovisionarray_tpu.ops.cost_volume import fused_cost_volume
