@@ -125,7 +125,9 @@ def two_view_disparity(
                 interpret=interpret,
             )
             w = left.shape[1]
-            br = next((r for r in (32, 16, 8) if w % r == 0), None)
+            # 48 measured fastest at 540x768x64 (0.248 vs 0.265 ms at 32;
+            # fewer shifted window views than 32, smaller blocks than 64)
+            br = next((r for r in (48, 32, 16, 8) if w % r == 0), None)
             if br is not None:
                 # build ONCE in the roll-free (W, D, H) layout; the (H, D, W)
                 # twin comes from one XLA transpose — measured ~0.17 ms/frame

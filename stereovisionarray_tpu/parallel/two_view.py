@@ -312,15 +312,31 @@ def _two_view_program(
             interpret=interpret,
         )
         if n_disp == 1:
-            agg = sgm_aggregate_pallas_sweeps(vol, sweeps=sweep_chunks[0], **sweep_kwargs)
-        else:
-            branches = [
-                functools.partial(
-                    sgm_aggregate_pallas_sweeps, sweeps=chunk, **sweep_kwargs
-                )
-                for chunk in sweep_chunks
-            ]
-            agg = lax.psum(lax.switch(disp_idx, branches, vol), AXIS_DISP)
+            # undivided disparity axis: the same fully-fused program as the
+            # single-chip fast path (extraction inside the final reverse
+            # horizontal sweep — the aggregated volume never touches HBM);
+            # bit-identical to aggregate + extract for integer costs
+            from stereovisionarray_tpu.ops.sgm_pallas import (
+                sgm_extract_fused_wdh,
+            )
+
+            maps = sgm_extract_fused_wdh(
+                vol,
+                None,
+                subpixel=sgm_cfg.subpixel,
+                uniqueness=sgm_cfg.uniqueness if sgm_cfg.uniqueness > 0 else 0.0,
+                lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
+                **sweep_kwargs,
+            )
+            return maps.disparity, maps.valid, maps.cost
+
+        branches = [
+            functools.partial(
+                sgm_aggregate_pallas_sweeps, sweeps=chunk, **sweep_kwargs
+            )
+            for chunk in sweep_chunks
+        ]
+        agg = lax.psum(lax.switch(disp_idx, branches, vol), AXIS_DISP)
 
         res = extract_disparity_hdw(
             agg,
