@@ -304,7 +304,6 @@ def plane_sweep_depth(
     if resolved in ("pallas", "pallas_interpret"):
         from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
         from stereovisionarray_tpu.ops.extract_pallas import extract_maps_hdw
-        from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_hdw
 
         interpret = resolved == "pallas_interpret"
         vol_hdw = jnp.moveaxis(vol, -1, 1)
@@ -334,17 +333,29 @@ def plane_sweep_depth(
             pen = lambda v: v
             vol_hdw = vol_hdw.astype(jnp.float32)
         if sgm_cfg is not None:
-            vol_hdw = sgm_aggregate_pallas_hdw(
+            # fused final sweep + extraction (models/two_view.py fast path):
+            # the aggregated plane volume never reaches HBM — bit-identical
+            # to sgm_aggregate_pallas_hdw + extract_maps_hdw for int16
+            from stereovisionarray_tpu.ops.sgm_pallas import (
+                sgm_extract_fused_wdh,
+            )
+
+            maps = sgm_extract_fused_wdh(
                 vol_hdw,
+                None,
                 p1=pen(sgm_cfg.p1),
                 p2=pen(sgm_cfg.p2),
                 num_paths=sgm_cfg.num_paths,
                 image=images[ref_index],
                 adaptive_p2=sgm_cfg.adaptive_p2,
                 p2_min=pen(sgm_cfg.p2_min),
+                subpixel=True,
+                uniqueness=0.0,
+                lr_max_diff=0.0,
                 interpret=interpret,
             )
-        maps = extract_maps_hdw(vol_hdw, subpixel=True, interpret=interpret)
+        else:
+            maps = extract_maps_hdw(vol_hdw, subpixel=True, interpret=interpret)
         k = maps.disparity  # fractional winning plane index
         cost = maps.cost / scale  # back to unscaled cost units
         k_int = jnp.clip(jnp.round(k).astype(jnp.int32), 0, cfg.num_planes - 1)
