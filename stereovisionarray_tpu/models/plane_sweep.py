@@ -174,7 +174,8 @@ def _shift_warp(padded: jnp.ndarray, su, sv, h: int, w: int, pad: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ref_index", "src_indices", "cfg", "shift_pad")
+    jax.jit,
+    static_argnames=("ref_index", "src_indices", "cfg", "shift_pad", "backend"),
 )
 def plane_sweep_volume(
     images: jnp.ndarray,
@@ -184,6 +185,7 @@ def plane_sweep_volume(
     cfg: PlaneSweepConfig = PlaneSweepConfig(),
     shift_pad: int = 0,
     depths: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
 ) -> tuple:
     """Build the fused (H, W, D) plane-sweep cost volume and the per-plane
     valid-view counts (H, W, D).
@@ -212,6 +214,39 @@ def plane_sweep_volume(
         census_transform(ref, (cfg.patch, cfg.patch)) if cfg.cost == "census" else None
     )
     src_images = images[src]  # (S, H, W)
+
+    resolved = _resolve_backend(backend)
+    mean_fusion = cfg.fusion == "mean" or (
+        cfg.fusion == "topk_mean" and cfg.topk >= len(src_indices)
+    )
+    if (
+        shift_pad > 0
+        and cfg.cost == "census"
+        and mean_fusion
+        and resolved in ("pallas", "pallas_interpret")
+    ):
+        # Fused MXU one-hot-warp kernel: sources stay VMEM-resident across
+        # the plane grid, warp + census + hamming + fusion in one pass
+        # (~2x the XLA chain; see ops/sweep_pallas.py for the traffic
+        # analysis and the deliberate patch//2 border divergence).
+        from stereovisionarray_tpu.ops.sweep_pallas import (
+            plane_sweep_census_pallas,
+        )
+
+        shifts = jnp.swapaxes(
+            H_all[..., :2, 2] / H_all[..., 2:3, 2], 0, 1
+        )  # (D, S, 2)
+        fused, nviews = plane_sweep_census_pallas(
+            ref,
+            src_images,
+            shifts,
+            patch=cfg.patch,
+            shift_pad=shift_pad,
+            interpret=resolved == "pallas_interpret",
+        )
+        vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)
+        nv = jnp.moveaxis(nviews, 0, -1)
+        return vol.astype(dtype), nv, depths
 
     if shift_pad > 0:
         pad = shift_pad + 1
@@ -298,7 +333,8 @@ def plane_sweep_depth(
     the plane index is the same recurrence as disparity smoothness.
     """
     vol, nv, depths = plane_sweep_volume(
-        images, cameras, ref_index, src_indices, cfg, shift_pad=shift_pad
+        images, cameras, ref_index, src_indices, cfg, shift_pad=shift_pad,
+        backend=backend,
     )
     resolved = _resolve_backend(backend)
     if resolved in ("pallas", "pallas_interpret"):

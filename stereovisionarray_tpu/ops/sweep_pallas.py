@@ -1,0 +1,224 @@
+"""Fused translation-only plane-sweep census kernel (MXU one-hot warp).
+
+Replaces the XLA per-plane chain of ``models/plane_sweep.py`` (pad ->
+4 dynamic slices -> bilinear lerp -> census -> hamming -> view fusion) for
+the translation-only camera arrays the reference uses
+(``/root/reference/src/functions.cpp:55-103`` builds per-plane shifted
+SADs the same way, pixel by pixel).
+
+Why a kernel: the XLA sweep measures ~9 ms/frame-set at 4 views x 128
+planes x 270x360 — half of it dynamic-slice materialization
+(scripts/probe_sweep_stages.py: warp 4.6 ms of 8.9). Every data-dependent
+offset mechanism in Mosaic crashes this v5e toolchain
+(scripts/probe_dma_warp2.py), so the warp instead rides the MXU with ZERO
+dynamic offsets (scripts/probe_matmul_warp.py, 2.1 us/warp):
+
+    window = Sy @ src @ Sx
+    Sy[r, p] = (p == y0 + r),  Sx[p, c] = (p == x0 + c)   (0/1 one-hot)
+
+The one-hot selections are bf16-exact, and ``src = f32(hi) + f32(lo)``
+splits exactly into two bf16 terms, so two bf16 MXU passes per axis
+reproduce the f32 gather to 2^-16 relative (bit-exact for integer-valued
+images); the fractional bilinear lerp runs on the VPU in f32 with the
+same operation order as ``models.plane_sweep._shift_warp``. The window
+carries a ``patch//2`` margin so the census neighbours come from REAL
+shifted content via static slices — the only divergence from the XLA
+path, which edge-clamps the warped image: maps agree bit-for-bit in the
+interior and may differ in the outermost patch//2 border ring.
+
+All sources stay VMEM-resident across the plane grid (constant block
+index maps); HBM traffic is one source read + the fused volume write.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["plane_sweep_census_pallas"]
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, *rest, n_views, h, w,
+                  margin, patch, pad_total, n_bits):
+    n_planes = (n_bits + 31) // 32
+    ref_code_refs = rest[:n_planes]
+    fused_ref, nv_ref = rest[n_planes], rest[n_planes + 1]
+    d = pl.program_id(0)
+    M = margin
+    hp = hi_ref.shape[1]
+    wp = hi_ref.shape[2]
+    hm = h + 2 * M + 1  # gathered rows (census margin + lerp partner)
+    wm = w + 2 * M + 1
+
+    # int iota + cast: tpu.iota only produces integer vectors
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    ceiling = jnp.float32(patch * patch - 1)
+
+    fused = jnp.zeros((h, w), jnp.float32)
+    nv = jnp.zeros((h, w), jnp.int32)
+
+    for s in range(n_views):
+        y0 = sc_ref[d, s, 0]
+        x0 = sc_ref[d, s, 1]
+        fv = f_ref[d, s, 0]
+        fu = f_ref[d, s, 1]
+
+        # exact gather: rows y0..y0+hm-1, cols x0..x0+wm-1 via one-hot MXU
+        rp = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 0)
+        sy = (rp == y0 + rr).astype(jnp.bfloat16)
+        a = _dot(sy, hi_ref[s]) + _dot(sy, lo_ref[s])  # (hm, wp) f32
+        cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
+        sx = (cp == x0 + cc).astype(jnp.bfloat16)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b = _dot(a_hi, sx) + _dot(a_lo, sx)  # (hm, wm) f32
+
+        # bilinear lerp, same op order as _shift_warp (bit-compat interior)
+        top = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
+        bot = b[1:, :-1] * (1.0 - fu) + b[1:, 1:] * fu
+        wmg = top * (1.0 - fv) + bot * fv  # (h+2M, w+2M) margin-warped
+
+        center = wmg[M : M + h, M : M + w]
+        ham = jnp.zeros((h, w), jnp.int32)
+        cur = jnp.zeros((h, w), jnp.uint32)
+        bit = 0
+        plane_i = 0
+        for dy in range(-M, M + 1):
+            for dx in range(-M, M + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = wmg[M + dy : M + dy + h, M + dx : M + dx + w]
+                cur = cur | (
+                    (nb < center).astype(jnp.uint32)
+                    << jnp.uint32(bit % 32)
+                )
+                bit += 1
+                if bit % 32 == 0:
+                    ham = ham + jax.lax.population_count(
+                        cur ^ ref_code_refs[plane_i][:]
+                    ).astype(jnp.int32)
+                    cur = jnp.zeros((h, w), jnp.uint32)
+                    plane_i += 1
+        if bit % 32 != 0:
+            ham = ham + jax.lax.population_count(
+                cur ^ ref_code_refs[plane_i][:]
+            ).astype(jnp.int32)
+
+        # out-of-view mask: identical float math to the XLA per_plane
+        su = (x0 - pad_total + M).astype(jnp.float32) + fu
+        sv = (y0 - pad_total + M).astype(jnp.float32) + fv
+        ok = (
+            (u_iota + su >= 0.0)
+            & (u_iota + su <= w - 1.0)
+            & (v_iota + sv >= 0.0)
+            & (v_iota + sv <= h - 1.0)
+        )
+        fused = fused + jnp.where(ok, ham.astype(jnp.float32), ceiling)
+        nv = nv + ok.astype(jnp.int32)
+
+    fused_ref[0] = fused / jnp.float32(n_views)  # mean fusion (jnp.mean)
+    nv_ref[0] = nv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch", "shift_pad", "interpret"),
+)
+def plane_sweep_census_pallas(
+    ref: jnp.ndarray,
+    src_images: jnp.ndarray,
+    shifts: jnp.ndarray,
+    patch: int = 5,
+    shift_pad: int = 0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused census plane sweep over uniform per-(plane, view) shifts.
+
+    ref: (H, W) reference image; src_images: (S, H, W); shifts: (D, S, 2)
+    pixel translations (su, sv) with |shift| <= shift_pad; patch: odd
+    census window size. Mean view fusion (the ``topk >= S`` case).
+
+    Returns ``(fused, nviews)``, each (D, H, W) — fused f32 census cost
+    (out-of-view views contribute the cost ceiling), nviews int32.
+    Matches the XLA ``plane_sweep_volume`` fast path bit-for-bit in the
+    interior (border ring of ``patch//2`` px: the kernel censuses real
+    shifted content where XLA edge-clamps the warped image).
+    """
+    from stereovisionarray_tpu.ops.census import census_transform
+
+    s_views, h, w = src_images.shape
+    d_planes = shifts.shape[0]
+    M = patch // 2
+    n_bits = patch * patch - 1
+    n_planes = (n_bits + 31) // 32
+
+    P = shift_pad + M + 1
+    padded = jnp.pad(
+        src_images.astype(jnp.float32), ((0, 0), (P, P), (P, P))
+    )
+    hi = padded.astype(jnp.bfloat16)
+    lo = (padded - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # integer/fractional split — float math identical to _shift_warp's
+    su = shifts[..., 0].astype(jnp.float32)  # (D, S)
+    sv = shifts[..., 1].astype(jnp.float32)
+    i0 = jnp.floor(su)
+    j0 = jnp.floor(sv)
+    fu = su - i0
+    fv = sv - j0
+    x0 = P + i0.astype(jnp.int32) - M  # margin-window origin
+    y0 = P + j0.astype(jnp.int32) - M
+    sc = jnp.stack([y0, x0], axis=-1)  # (D, S, 2) int32
+    fr = jnp.stack([fv, fu], axis=-1).astype(jnp.float32)
+
+    ref_codes = census_transform(ref.astype(jnp.float32), (patch, patch))
+    code_ops = [ref_codes[..., p] for p in range(n_planes)]
+
+    hp, wp = padded.shape[1], padded.shape[2]
+    resident3 = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out_spec = lambda dt: (
+        pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((d_planes, h, w), dt),
+    )
+    (fspec, fshape), (nspec, nshape) = out_spec(jnp.float32), out_spec(jnp.int32)
+
+    fused, nv = pl.pallas_call(
+        functools.partial(
+            _sweep_kernel, n_views=s_views, h=h, w=w, margin=M, patch=patch,
+            pad_total=P, n_bits=n_bits,
+        ),
+        grid=(d_planes,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            resident3((s_views, hp, wp)),
+            resident3((s_views, hp, wp)),
+            *[resident3((h, w)) for _ in range(n_planes)],
+        ],
+        out_specs=(fspec, nspec),
+        out_shape=(fshape, nshape),
+        # the unrolled views x census offsets need ~27 MB of kernel stack
+        # at 270x360x4 views (default scoped-vmem limit is 16 MB; v5e has
+        # 128 MB of VMEM and the resident operands use < 4 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(sc, fr, hi, lo, *code_ops)
+    return fused, nv

@@ -1,0 +1,115 @@
+"""Interpret-mode tests for the fused MXU plane-sweep kernel
+(ops/sweep_pallas.py) against the XLA translation-only sweep oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereovisionarray_tpu.config import EngineConfig
+from stereovisionarray_tpu.datasets import (
+    SceneSpec,
+    reference_rig,
+    render_camera_array,
+)
+from stereovisionarray_tpu.geometry.topology import PairTopology, camera_pairs
+from stereovisionarray_tpu.models.array_pipeline import _shift_warp_pad
+from stereovisionarray_tpu.models.plane_sweep import plane_sweep_volume
+from stereovisionarray_tpu.ops.sweep_pallas import plane_sweep_census_pallas
+
+ROWS = COLS = 3
+H, W, PLANES = 48, 64, 16
+
+
+def _setup(patch=5, topology="CROSS"):
+    cams = reference_rig(rows=ROWS, cols=COLS, spacing=0.05, resolution=(H, W))
+    images, _ = render_camera_array(cams, (H, W), SceneSpec())
+    # integer-valued images: the kernel's hi/lo bf16 split is then exact
+    images = jnp.asarray(np.round(np.asarray(images)))
+    cfg = EngineConfig().override(**{
+        "camera.rows": ROWS, "camera.cols": COLS,
+        "plane_sweep.num_planes": PLANES,
+        "plane_sweep.topology": topology,
+        "plane_sweep.patch": patch,
+    })
+    ref_index = (ROWS // 2) * COLS + COLS // 2
+    pairs = camera_pairs(
+        PairTopology(topology), rows=ROWS, cols=COLS, center=ref_index
+    )
+    src_indices = tuple(int(b) for a, b in pairs if a == ref_index)
+    pad = _shift_warp_pad(cams, ref_index, src_indices, cfg)
+    assert pad > 0
+    return cams, images, cfg.plane_sweep, ref_index, src_indices, pad
+
+
+@pytest.mark.parametrize("patch", [3, 5])
+def test_kernel_matches_xla_sweep(patch):
+    """Interior agrees with the XLA sweep to <= 1 census bit (the f32 lerp
+    may round differently under fma contraction at exact ties); the
+    nviews map is exact; the border ring (patch//2) is the documented
+    real-content-vs-edge-clamp divergence, bounded by the cost ceiling."""
+    cams, images, ps, ref_index, src_indices, pad = _setup(patch)
+    vol, nv, depths = plane_sweep_volume(
+        images, cams, ref_index, src_indices, ps, shift_pad=pad
+    )
+    src = jnp.asarray(src_indices, dtype=jnp.int32)
+    H_all = cams.fronto_plane_homography(ref_index, src, depths)
+    shifts = jnp.swapaxes(H_all[..., :2, 2] / H_all[..., 2:3, 2], 0, 1)
+    fused, nv2 = plane_sweep_census_pallas(
+        images[ref_index], images[src], shifts, patch=ps.patch,
+        shift_pad=pad, interpret=True,
+    )
+    got_vol = np.asarray(jnp.moveaxis(fused, 0, -1))
+    got_nv = np.asarray(jnp.moveaxis(nv2, 0, -1))
+    np.testing.assert_array_equal(got_nv, np.asarray(nv))
+    m = ps.patch // 2
+    inner = (slice(m, H - m), slice(m, W - m))
+    d = np.abs(got_vol - np.asarray(vol))
+    s = len(src_indices)
+    assert d[inner].max() <= 1.0 / s + 1e-6  # <= 1 flipped bit per pixel
+    assert (d[inner] > 0).mean() < 0.01
+    assert d.max() <= ps.patch * ps.patch - 1  # border bounded by ceiling
+
+
+def test_volume_gate_selects_kernel():
+    """plane_sweep_volume(backend='pallas_interpret') routes through the
+    kernel when the gates hold (census cost, mean-equivalent fusion,
+    translation-only shift_pad) and matches its own XLA output within the
+    tolerances above."""
+    cams, images, ps, ref_index, src_indices, pad = _setup()
+    vol_x, nv_x, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, ps, shift_pad=pad,
+        backend="xla",
+    )
+    vol_p, nv_p, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, ps, shift_pad=pad,
+        backend="pallas_interpret",
+    )
+    np.testing.assert_array_equal(np.asarray(nv_p), np.asarray(nv_x))
+    m = ps.patch // 2
+    inner = (slice(m, H - m), slice(m, W - m))
+    d = np.abs(np.asarray(vol_p) - np.asarray(vol_x))
+    assert d[inner].max() <= 0.25 + 1e-6
+    # winning plane must agree almost everywhere in the interior
+    ki = np.asarray(vol_p).argmin(-1)[inner]
+    kx = np.asarray(vol_x).argmin(-1)[inner]
+    assert (ki == kx).mean() > 0.995
+
+
+def test_gate_falls_back_for_ungated_configs():
+    """zncc cost and sub-S top-k keep the XLA path (identical results
+    whatever the backend string)."""
+    cams, images, ps, ref_index, src_indices, pad = _setup()
+    for override in ({"cost": "zncc"}, {"fusion": "topk_mean", "topk": 2}):
+        import dataclasses
+
+        cfg2 = dataclasses.replace(ps, **override)
+        a, na, _ = plane_sweep_volume(
+            images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+            backend="pallas_interpret",
+        )
+        b, nb, _ = plane_sweep_volume(
+            images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+            backend="xla",
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
