@@ -215,37 +215,101 @@ def multiview_refine(
             svals = jnp.arange(s_lo, s_hi + 1, dtype=reference.dtype)
             stacks.append((stack, svals, s_lo, s_hi, blen, bu, bv))
 
-        def offset_cost(delta: float):
-            diffs, oks = [], []
-            for v in range(v_views):
-                stack, svals, s_lo, s_hi, blen, bu, bv = stacks[v]
-                d_new = disparity + delta
-                t = jnp.clip(d_new * blen, s_lo, s_hi)
-                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(t[None] - svals[:, None, None]))
-                warped = jnp.sum(wgt * stack, axis=0)
-                # mirror warp_with_disparity's gate (ops/warp.py:106): a
-                # non-positive candidate disparity is no evidence — without
-                # this, sweep-invalid pixels (disparity fill 0) would be
-                # "refined" from garbage and reported valid
-                ok = (
-                    (u_iota + d_new * bu >= 0.0)
-                    & (u_iota + d_new * bu <= w - 1.0)
-                    & (v_iota + d_new * bv >= 0.0)
-                    & (v_iota + d_new * bv <= h - 1.0)
-                    & (d_new > 0.0)
-                )
-                diffs.append(jnp.where(ok, jnp.abs(reference - warped), 0.0))
-                oks.append(ok)
-            diff = jnp.stack(diffs)  # (V, H, W)
-            okf = jnp.stack(oks).astype(reference.dtype)
-            c = box_filter2d(diff, window)
-            n_box = box_filter2d(okf, window)
-            total_c = c.sum(axis=0)
-            total_n = n_box.sum(axis=0)
+        def _ok_mask(delta, blen, bu, bv):
+            # mirror warp_with_disparity's gate (ops/warp.py:106): a
+            # non-positive candidate disparity is no evidence — without
+            # this, sweep-invalid pixels (disparity fill 0) would be
+            # "refined" from garbage and reported valid
+            d_new = disparity + delta
+            return (
+                (u_iota + d_new * bu >= 0.0)
+                & (u_iota + d_new * bu <= w - 1.0)
+                & (v_iota + d_new * bv >= 0.0)
+                & (v_iota + d_new * bv <= h - 1.0)
+                & (d_new > 0.0)
+            )
+
+        def _fuse(diff, okf):
+            # the box filter is linear: box(sum over views) == sum of the
+            # per-view boxes — one (H, W) filter pair instead of V of them
+            total_c = box_filter2d(diff.sum(axis=0), window)
+            total_n = box_filter2d(okf.sum(axis=0), window)
             fused = total_c / jnp.maximum(total_n, 1.0)
             return jnp.where(total_n > 0, fused, _BIG), total_n > 0
 
-        per = [offset_cost(float(o)) for o in offsets_np]
+        q_ints = [int(round(step * b[4])) for b in stacks]
+        integer_spacing = all(
+            abs(step * b[4] - q) < 1e-9 for b, q in zip(stacks, q_ints)
+        )
+        if integer_spacing:
+            # ---- shared-gather pass: one stack read for ALL offsets --- #
+            # With integer candidate spacing q = step*blen, the hat sum at
+            # offset o is the lerp of two entries of the SAME per-pixel
+            # gather grid: warped_o = (1-f) G(i0 + o q) + f G(i0 + o q + 1)
+            # with t0 = (d - radius step) blen, i0 = floor(t0), f = t0-i0,
+            # and G(j) = stack[clip(j, s_lo, s_hi)] — algebraically equal to
+            # the clipped hat formulation for every d, including the
+            # saturated ends. Building G once reads each stack ONCE instead
+            # of once per offset (O(K(oq_max+2)) selects vs O(num K)
+            # multiplies, and ~num x less HBM stack traffic).
+            warped_all = []  # per view: (num, H, W)
+            for v in range(v_views):
+                stack, svals, s_lo, s_hi, blen, bu, bv = stacks[v]
+                q = q_ints[v]
+                t0 = (disparity - radius * step) * blen
+                i0 = jnp.floor(t0)
+                f = (t0 - i0)[None]
+                i0 = i0.astype(jnp.int32)
+                kmax = (num - 1) * q + 1
+                k_iota = jnp.arange(kmax + 1, dtype=jnp.int32)
+                cj = jnp.clip(
+                    i0[None] + k_iota[:, None, None], s_lo, s_hi
+                )  # (kmax+1, H, W) clipped gather targets
+                g = jnp.zeros((kmax + 1, h, w), reference.dtype)
+                for si, s in enumerate(range(s_lo, s_hi + 1)):
+                    g = g + jnp.where(cj == s, stack[si][None], 0.0)
+                warped_all.append(
+                    jnp.stack(
+                        [
+                            (1.0 - f[0]) * g[o * q] + f[0] * g[o * q + 1]
+                            for o in range(num)
+                        ]
+                    )
+                )
+            per = []
+            for o, delta in enumerate(offsets_np):
+                diffs, oks = [], []
+                for v in range(v_views):
+                    _, _, _, _, blen, bu, bv = stacks[v]
+                    ok = _ok_mask(float(delta), blen, bu, bv)
+                    diffs.append(
+                        jnp.where(
+                            ok, jnp.abs(reference - warped_all[v][o]), 0.0
+                        )
+                    )
+                    oks.append(ok)
+                per.append(
+                    _fuse(jnp.stack(diffs), jnp.stack(oks).astype(reference.dtype))
+                )
+        else:
+            def offset_cost(delta: float):
+                diffs, oks = [], []
+                for v in range(v_views):
+                    stack, svals, s_lo, s_hi, blen, bu, bv = stacks[v]
+                    d_new = disparity + delta
+                    t = jnp.clip(d_new * blen, s_lo, s_hi)
+                    wgt = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(t[None] - svals[:, None, None])
+                    )
+                    warped = jnp.sum(wgt * stack, axis=0)
+                    ok = _ok_mask(delta, blen, bu, bv)
+                    diffs.append(jnp.where(ok, jnp.abs(reference - warped), 0.0))
+                    oks.append(ok)
+                return _fuse(
+                    jnp.stack(diffs), jnp.stack(oks).astype(reference.dtype)
+                )
+
+            per = [offset_cost(float(o)) for o in offsets_np]
         costs = jnp.stack([p[0] for p in per])  # (O, H, W)
         any_valid = jnp.stack([p[1] for p in per])
         return _select_best(
@@ -282,10 +346,9 @@ def multiview_refine(
             warped, ok = jax.vmap(per_view)(warp0, ok0, baselines_uv)
 
         diff = jnp.abs(reference[None] - warped)
-        c = box_filter2d(jnp.where(ok, diff, 0.0), window)
-        n = box_filter2d(ok.astype(reference.dtype), window)
-        total_c = c.sum(axis=0)
-        total_n = n.sum(axis=0)
+        # linear filter: box the view-sums, not the (V, H, W) stack
+        total_c = box_filter2d(jnp.where(ok, diff, 0.0).sum(axis=0), window)
+        total_n = box_filter2d(ok.astype(reference.dtype).sum(axis=0), window)
         fused = total_c / jnp.maximum(total_n, 1.0)
         return jnp.where(total_n > 0, fused, _BIG), total_n > 0
 
