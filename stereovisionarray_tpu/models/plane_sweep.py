@@ -216,6 +216,9 @@ def plane_sweep_volume(
     src_images = images[src]  # (S, H, W)
 
     resolved = _resolve_backend(backend)
+    # "mean" averages over VALID views (kernel valid_mean=True);
+    # "topk_mean" with k >= S is a plain ceiling-padded mean (False) —
+    # two distinct fusion semantics, both kernel-supported
     mean_fusion = cfg.fusion == "mean" or (
         cfg.fusion == "topk_mean" and cfg.topk >= len(src_indices)
     )
@@ -242,6 +245,7 @@ def plane_sweep_volume(
             shifts,
             patch=cfg.patch,
             shift_pad=shift_pad,
+            valid_mean=cfg.fusion == "mean",
             interpret=resolved == "pallas_interpret",
         )
         vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)

@@ -112,6 +112,7 @@ def two_view_disparity(
             from stereovisionarray_tpu.ops.cost_pallas import (
                 fused_cost_volume_pallas_hdw,
                 fused_cost_volume_pallas_wdh,
+                wdh_block_rows,
             )
             from stereovisionarray_tpu.ops.sgm_pallas import (
                 sgm_extract_fused_wdh,
@@ -124,10 +125,7 @@ def two_view_disparity(
                 bt_clip=cost_cfg.bt_clip,
                 interpret=interpret,
             )
-            w = left.shape[1]
-            # 48 measured fastest at 540x768x64 (0.248 vs 0.265 ms at 32;
-            # fewer shifted window views than 32, smaller blocks than 64)
-            br = next((r for r in (48, 32, 16, 8) if w % r == 0), None)
+            br = wdh_block_rows(left.shape[1])
             if br is not None:
                 # build ONCE in the roll-free (W, D, H) layout; the (H, D, W)
                 # twin comes from one XLA transpose — measured ~0.17 ms/frame

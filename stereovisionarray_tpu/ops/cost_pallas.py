@@ -34,7 +34,22 @@ from jax.experimental.pallas import tpu as pltpu
 from stereovisionarray_tpu.ops.census import census_transform
 from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
 
-__all__ = ["fused_cost_volume_pallas_hdw", "fused_cost_volume_pallas_wdh"]
+__all__ = [
+    "fused_cost_volume_pallas_hdw",
+    "fused_cost_volume_pallas_wdh",
+    "wdh_block_rows",
+]
+
+
+def wdh_block_rows(w: int):
+    """Default block_rows for :func:`fused_cost_volume_pallas_wdh`, or None
+    when no legal tiling exists (W not a multiple of 8 — the sublane
+    constraint of the (R, H) input blocks). 48 measured fastest at
+    540x768x64 (0.248 ms vs 0.265 at 32, scripts/perf_fused_ab.py); the
+    chain keeps the tile <= 48 so n_views (shifted window copies) stays
+    small. Lives next to the kernel so callers don't re-derive the
+    legality rule."""
+    return next((r for r in (48, 32, 16, 8) if w % r == 0), None)
 
 
 def _shifted_rows(row, n_rows, w):

@@ -150,6 +150,22 @@ def _barrel_broadcast(row, D, w, left: bool, fill):
     return out[:D] if out.shape[0] != D else out
 
 
+def _right_at_left(d_sub, dr_sub, D):
+    """at[x] = d_R(x - round(d_L(x))), _BIG where x - d_L is out of image.
+
+    d_sub/dr_sub: (1, W) f32 left/right subpixel disparity rows. The LR
+    gather shared by the in-volume extraction (``extract_row_maps``) and
+    the map-level kernel (``lr_gather_maps``): R2[d, x] = d_R(x - d) via
+    the reverse broadcast barrel, then the one-hot row-select at
+    d = round(d_L(x))."""
+    w = d_sub.shape[1]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, w), 0)
+    r2 = _barrel_broadcast(dr_sub, D, w, left=False, fill=_BIG)
+    dl_int = jnp.clip(jnp.round(d_sub).astype(jnp.int32), 0, D - 1)  # (1, W)
+    return jnp.sum(jnp.where(d_iota == dl_int, r2, 0.0), axis=0,
+                   keepdims=True)
+
+
 def extract_row_maps(a16, D, subpixel, uniqueness, lr_max_diff):
     """Extraction math for ONE (D, W) aggregated slab in the volume dtype.
 
@@ -184,15 +200,7 @@ def extract_row_maps(a16, D, subpixel, uniqueness, lr_max_diff):
             if subpixel
             else dr_int.astype(jnp.float32)
         )
-        # LR gather: R2[d, x] = d_R(x - d); pick row d = round(d_L(x))
-        r2 = _barrel_broadcast(dr_sub, D, a.shape[1], left=False,
-                               fill=_BIG)
-        dl_int = jnp.clip(
-            jnp.round(d_sub).astype(jnp.int32), 0, D - 1
-        )  # (1, W)
-        at = jnp.sum(
-            jnp.where(d_iota == dl_int, r2, 0.0), axis=0, keepdims=True
-        )
+        at = _right_at_left(d_sub, dr_sub, D)
         ok &= jnp.abs(d_sub - at) <= lr_max_diff
         ok &= at < _BIG  # x - d_L out of image -> no evidence
     return d_sub, cost, ok
@@ -217,17 +225,10 @@ def _lr_check_kernel(dl_ref, dr_ref, ok_ref, *, rows, n_disp):
     BIG where x - dl_int is out of image — the same reverse broadcast
     barrel + one-hot reduce as the in-volume extraction kernel, but over
     1000x less data (maps, not volumes)."""
-    D = n_disp
     for r in range(rows):
         dl = dl_ref[r][None, :]  # (1, W) f32
         dr = dr_ref[r][None, :]
-        d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, dl.shape[1]), 0)
-        r2 = _barrel_broadcast(dr, D, dl.shape[1], left=False, fill=_BIG)
-        dl_int = jnp.clip(jnp.round(dl).astype(jnp.int32), 0, D - 1)
-        at = jnp.sum(
-            jnp.where(d_iota == dl_int, r2, 0.0), axis=0, keepdims=True
-        )
-        ok_ref[r] = at[0]
+        ok_ref[r] = _right_at_left(dl, dr, n_disp)[0]
 
 
 def lr_gather_maps(disp_l, disp_r, n_disp, interpret: bool = False):

@@ -943,7 +943,11 @@ def _rl_extract_wdh(vol_t, p2_map_t, p1, acc, interpret, subpixel,
         scratch_shapes=[
             pltpu.VMEM((d, h), cdt),  # carry
             pltpu.VMEM((d, h), jnp.int32 if vol_t.dtype == jnp.int16 else cdt),  # pbest
-            pltpu.VMEM((d, h), jnp.int32),  # bidx (float path only)
+            # bidx carries the argmin on the FLOAT path only; the int16
+            # path packs it into pbest — allocate one min tile, not (d, h)
+            pltpu.VMEM(
+                (8, 128) if vol_t.dtype == jnp.int16 else (d, h), jnp.int32
+            ),  # bidx
             pltpu.VMEM((d, h), cdt),  # prev
             pltpu.VMEM((d, h), cdt),  # cmb
             pltpu.VMEM((d, h), cdt),  # cpb

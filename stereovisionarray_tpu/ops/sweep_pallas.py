@@ -50,7 +50,7 @@ def _dot(a, b):
 
 
 def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, *rest, n_views, h, w,
-                  margin, patch, pad_total, n_bits):
+                  margin, patch, pad_total, n_bits, valid_mean):
     n_planes = (n_bits + 31) // 32
     ref_code_refs = rest[:n_planes]
     fused_ref, nv_ref = rest[n_planes], rest[n_planes + 1]
@@ -127,16 +127,26 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, *rest, n_views, h, w,
             & (v_iota + sv >= 0.0)
             & (v_iota + sv <= h - 1.0)
         )
-        fused = fused + jnp.where(ok, ham.astype(jnp.float32), ceiling)
+        if valid_mean:
+            # cfg.fusion == "mean": average over the VALID views only
+            # (matches _fuse_views: sum(where(ok, c, 0)) / max(count, 1))
+            fused = fused + jnp.where(ok, ham.astype(jnp.float32), 0.0)
+        else:
+            # topk_mean with k >= S: plain mean with ceiling-padded
+            # out-of-view entries (matches jnp.mean over where(ok, c, ceil))
+            fused = fused + jnp.where(ok, ham.astype(jnp.float32), ceiling)
         nv = nv + ok.astype(jnp.int32)
 
-    fused_ref[0] = fused / jnp.float32(n_views)  # mean fusion (jnp.mean)
+    if valid_mean:
+        fused_ref[0] = fused / jnp.maximum(nv, 1).astype(jnp.float32)
+    else:
+        fused_ref[0] = fused / jnp.float32(n_views)  # jnp.mean order
     nv_ref[0] = nv
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch", "shift_pad", "interpret"),
+    static_argnames=("patch", "shift_pad", "valid_mean", "interpret"),
 )
 def plane_sweep_census_pallas(
     ref: jnp.ndarray,
@@ -144,13 +154,17 @@ def plane_sweep_census_pallas(
     shifts: jnp.ndarray,
     patch: int = 5,
     shift_pad: int = 0,
+    valid_mean: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused census plane sweep over uniform per-(plane, view) shifts.
 
     ref: (H, W) reference image; src_images: (S, H, W); shifts: (D, S, 2)
     pixel translations (su, sv) with |shift| <= shift_pad; patch: odd
-    census window size. Mean view fusion (the ``topk >= S`` case).
+    census window size. valid_mean=False reproduces ``fusion="topk_mean"``
+    with ``topk >= S`` (plain mean, out-of-view views contribute the cost
+    ceiling); valid_mean=True reproduces ``fusion="mean"`` (average over
+    the in-view sources only).
 
     Returns ``(fused, nviews)``, each (D, H, W) — fused f32 census cost
     (out-of-view views contribute the cost ceiling), nviews int32.
@@ -201,7 +215,7 @@ def plane_sweep_census_pallas(
     fused, nv = pl.pallas_call(
         functools.partial(
             _sweep_kernel, n_views=s_views, h=h, w=w, margin=M, patch=patch,
-            pad_total=P, n_bits=n_bits,
+            pad_total=P, n_bits=n_bits, valid_mean=bool(valid_mean),
         ),
         grid=(d_planes,),
         in_specs=[

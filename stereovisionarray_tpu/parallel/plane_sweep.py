@@ -52,6 +52,7 @@ def _plane_sweep_program(
     sgm_cfg: Optional[SGMConfig],
     min_views: int,
     shift_pad: int,
+    backend: str,
     B: int,
     N: int,
     H: int,
@@ -91,7 +92,7 @@ def _plane_sweep_program(
         depths_loc = lax.dynamic_slice(depths_all, (disp_idx * d_local,), (d_local,))
         vol, nv, _ = plane_sweep_volume(
             imgs, cameras, ref_index, src_indices, cfg,
-            shift_pad=shift_pad, depths=depths_loc,
+            shift_pad=shift_pad, depths=depths_loc, backend=backend,
         )
         if n_disp > 1:
             vol = lax.all_gather(vol, AXIS_DISP, axis=-1, tiled=True)
@@ -149,6 +150,7 @@ def sharded_plane_sweep_depth(
     sgm_cfg: Optional[SGMConfig] = SGMConfig(lr_max_diff=0.0),
     min_views: int = 2,
     shift_pad: int = 0,
+    backend: str = "auto",
 ) -> PlaneSweepOutput:
     """Batched, mesh-sharded ``models.plane_sweep.plane_sweep_depth``.
 
@@ -159,12 +161,17 @@ def sharded_plane_sweep_depth(
     The compiled program is cached per (mesh, configs, shapes); repeat
     calls skip tracing entirely (cameras are a runtime argument).
 
+    backend: volume-builder backend forwarded to ``plane_sweep_volume`` —
+    "auto" picks the fused Pallas MXU sweep kernel on TPU when the config
+    gates hold (census + mean-equivalent fusion + translation-only rig);
+    "xla" forces the chunked XLA chain (the pre-kernel numerics).
+
     Returns PlaneSweepOutput of (B, H, W) maps sharded along data.
     """
     B, N, H, W = images.shape
     program, spec_in = _plane_sweep_program(
         mesh, ref_index, tuple(src_indices), cfg, sgm_cfg,
-        int(min_views), int(shift_pad), B, N, H, W,
+        int(min_views), int(shift_pad), str(backend), B, N, H, W,
     )
     images = jax.device_put(
         images.astype(jnp.float32), NamedSharding(mesh, spec_in)

@@ -328,7 +328,12 @@ def _two_view_program(
                 lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
                 **sweep_kwargs,
             )
-            return maps.disparity, maps.valid, maps.cost
+            # TwoViewOutput contract: INVALID_DISPARITY where rejected (the
+            # unfused extract_disparity_hdw applied this fill internally)
+            from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
+
+            disp = jnp.where(maps.valid, maps.disparity, INVALID_DISPARITY)
+            return disp, maps.valid, maps.cost
 
         branches = [
             functools.partial(

@@ -89,12 +89,16 @@ class TestShardedTwoView:
     # (2,2,2) exercises all three axes at once; (1,2,4) the max disp split.
     # Interpret-mode pallas inside shard_map costs ~90 s/case — keep the set
     # minimal but axis-covering.
-    @pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (2, 2, 2)])
+    # (2,2,2) exercises all axes; (1,2,4) the max disp split; (2,4,1) the
+    # UNDIVIDED disp axis = the fully-fused sweep+extract program branch
+    @pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (2, 2, 2), (2, 4, 1)])
     def test_pallas_backend_matches_single_chip(self, rng, mesh_shape):
         """The int16 Pallas fast path under shard_map (sweep-granularity path
         parallelism + fused extraction) must reproduce the single-chip Pallas
         pipeline exactly when the halo covers the tile block (VERDICT r1
         item 3: the fast kernels must run sharded, not just single-chip)."""
+        from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
+
         left, right = _stereo_batch(rng)
         mesh = make_mesh(*mesh_shape)
         out = sharded_two_view_disparity(
@@ -110,6 +114,10 @@ class TestShardedTwoView:
         d_ref, v_ref = np.asarray(ref[0]), np.asarray(ref[1])
         exact = ((np.abs(d_sh - d_ref) < 1e-3) | (~v_ref & ~v_sh)).mean()
         assert exact == 1.0, f"exact {exact} on mesh {mesh_shape}"
+        # TwoViewOutput contract: rejected pixels carry the sentinel
+        # (regression: the fused n_disp==1 branch once returned raw WTA
+        # values at uniqueness/LR-rejected pixels)
+        assert (d_sh[~v_sh] == INVALID_DISPARITY).all()
 
     @pytest.mark.parametrize("mesh_shape", [(1, 8, 1), (2, 4, 1)])
     def test_exact_tile_mode_bit_identical(self, rng, mesh_shape):
@@ -224,6 +232,45 @@ class TestShardedPlaneSweep:
             assert (rel < 0.02).mean() > 0.97, f"close frac {(rel < 0.02).mean()}"
             agree = (np.asarray(out.valid[i]) == np.asarray(ref.valid)).mean()
             assert agree > 0.98, f"valid agreement {agree}"
+
+    def test_pallas_sweep_kernel_under_shard_map(self, rng):
+        """The fused MXU sweep kernel (translation-only gate) must compile
+        and agree with the sharded XLA sweep inside shard_map — the
+        production TPU multichip path routes through it via backend='auto'
+        (regression: this combination previously had zero test coverage;
+        conftest's CPU mesh resolves 'auto' to xla)."""
+        from stereovisionarray_tpu.parallel import sharded_plane_sweep_depth
+        from stereovisionarray_tpu.models.plane_sweep import (
+            inverse_depth_samples,
+        )
+
+        batch, cams, cfg, src = self._setup(rng)
+        depths = inverse_depth_samples(cfg.z_near, cfg.z_far, cfg.num_planes)
+        H_all = cams.fronto_plane_homography(4, jnp.asarray(src), depths)
+        shifts = np.asarray(H_all[..., :2, 2] / H_all[..., 2:3, 2])
+        pad = int(np.ceil(np.abs(shifts).max())) + 1
+        sgm = SGMConfig(p1=4.0, p2=32.0, num_paths=8, adaptive_p2=True)
+        mesh = make_mesh(2, 1, 4)
+        out_x = sharded_plane_sweep_depth(
+            batch, cams, 4, src, mesh, cfg, sgm_cfg=sgm, shift_pad=pad,
+            backend="xla",
+        )
+        out_p = sharded_plane_sweep_depth(
+            batch, cams, 4, src, mesh, cfg, sgm_cfg=sgm, shift_pad=pad,
+            backend="pallas_interpret",
+        )
+        both = np.asarray(out_x.valid) & np.asarray(out_p.valid)
+        rel = (
+            np.abs(np.asarray(out_p.depth) - np.asarray(out_x.depth))[both]
+            / np.maximum(np.asarray(out_x.depth)[both], 1e-6)
+        )
+        # at this tiny resolution the kernel's patch//2 border ring is a
+        # large pixel fraction and the SGM paths smear it inward, so the
+        # depth agreement is loose here — tight interior-volume parity is
+        # asserted single-device in tests/test_sweep_pallas.py; this case
+        # exists to compile and sanity-run the kernel inside shard_map
+        assert np.median(rel) < 5e-3, f"median rel {np.median(rel)}"
+        assert (rel < 0.05).mean() > 0.95, f"close frac {(rel < 0.05).mean()}"
 
     def test_rejects_tile_axis(self, rng):
         from stereovisionarray_tpu.parallel import sharded_plane_sweep_depth

@@ -95,6 +95,34 @@ def test_volume_gate_selects_kernel():
     assert (ki == kx).mean() > 0.995
 
 
+def test_valid_mean_fusion_matches_xla():
+    """fusion='mean' averages over VALID views only — the kernel must use
+    valid_mean semantics, not the ceiling-padded plain mean (regression:
+    the first gate admitted 'mean' with topk semantics, giving costs off
+    by up to (ceiling - c) * missing/S at partial-view border pixels)."""
+    import dataclasses
+
+    cams, images, ps, ref_index, src_indices, pad = _setup()
+    cfg2 = dataclasses.replace(ps, fusion="mean")
+    vol_x, nv_x, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+        backend="xla",
+    )
+    vol_p, nv_p, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+        backend="pallas_interpret",
+    )
+    np.testing.assert_array_equal(np.asarray(nv_p), np.asarray(nv_x))
+    d = np.abs(np.asarray(vol_p) - np.asarray(vol_x))
+    # partial-view pixels exist in this rig (assert the test is not vacuous)
+    assert (np.asarray(nv_x) < len(src_indices)).any()
+    m = ps.patch // 2
+    inner = (slice(m, H - m), slice(m, W - m))
+    # one fma-tie census-bit flip changes a valid-mean cost by 1/nv
+    bound = 1.0 / np.maximum(np.asarray(nv_x), 1) + 1e-6
+    assert (d[inner] <= bound[inner]).all()
+
+
 def test_gate_falls_back_for_ungated_configs():
     """zncc cost and sub-S top-k keep the XLA path (identical results
     whatever the backend string)."""
