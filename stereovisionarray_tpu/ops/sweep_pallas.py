@@ -18,13 +18,18 @@ dynamic offsets (scripts/probe_matmul_warp.py, 2.1 us/warp):
 
 The one-hot selections are bf16-exact, and ``src = f32(hi) + f32(lo)``
 splits exactly into two bf16 terms, so two bf16 MXU passes per axis
-reproduce the f32 gather to 2^-16 relative (bit-exact for integer-valued
-images); the fractional bilinear lerp runs on the VPU in f32 with the
-same operation order as ``models.plane_sweep._shift_warp``. The window
-carries a ``patch//2`` margin so the census neighbours come from REAL
-shifted content via static slices — the only divergence from the XLA
-path, which edge-clamps the warped image: maps agree bit-for-bit in the
-interior and may differ in the outermost patch//2 border ring.
+reproduce the f32 gather EXACTLY for values with <= 16 significant bits
+(all uint8-sourced imagery; arbitrary floats see a 2^-16-relative
+residual that can flip census bits where |neighbour - centre| is below
+~1e-3 — flat-region noise bits with no measured effect on golden
+depth metrics). The fractional bilinear lerp runs on the VPU in f32 with
+the same operation order as ``models.plane_sweep._shift_warp``. The
+window carries a ``patch//2`` margin so the census neighbours come from
+REAL shifted content via static slices — the only other divergence from
+the XLA path, which edge-clamps the warped image: integer-image maps are
+bit-identical in the interior (verified on-device by
+``scripts/check_tpu_parity.py``) and may differ in the outermost
+patch//2 border ring.
 
 All sources stay VMEM-resident across the plane grid (constant block
 index maps); HBM traffic is one source read + the fused volume write.
@@ -49,11 +54,9 @@ def _dot(a, b):
     )
 
 
-def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, *rest, n_views, h, w,
-                  margin, patch, pad_total, n_bits, valid_mean):
-    n_planes = (n_bits + 31) // 32
-    ref_code_refs = rest[:n_planes]
-    fused_ref, nv_ref = rest[n_planes], rest[n_planes + 1]
+def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, refbits_ref, fused_ref,
+                  nv_ref, *, n_views, h, w, margin, patch, pad_total,
+                  n_bits, valid_mean):
     d = pl.program_id(0)
     M = margin
     hp = hi_ref.shape[1]
@@ -92,36 +95,26 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, *rest, n_views, h, w,
         bot = b[1:, :-1] * (1.0 - fu) + b[1:, 1:] * fu
         wmg = top * (1.0 - fv) + bot * fv  # (h+2M, w+2M) margin-warped
 
-        # The census loop is pure VPU-ALU bound (~0.16 ms per neighbor
-        # offset at this shape: cmp+cast+shl+or on (h, w) x views x
-        # planes). Grouping the lane-shifted slices by dx measured NEUTRAL
-        # (Mosaic already hoists/CSEs them), so the naive per-offset 2D
-        # slice stays for readability.
+        # Hamming accumulates DIRECTLY against unpacked reference census
+        # bits (refbits_ref: (n_bits, h, w) i32) — the classical
+        # pack-then-popcount form miscompiles on this v5e toolchain: a
+        # 24-deep u32 `cur | (mask << bit)` chain silently drops bits
+        # 16-18/20-22 on device (each offset is exact in isolation, every
+        # packing variant — select-of-constants, i32 shifts, per-dy
+        # subchains — fails identically; interpret mode is correct). i32
+        # mask adds are immune; see the probes referenced in the module
+        # docstring. Same ALU count minus the popcount.
         center = wmg[M : M + h, M : M + w]
         ham = jnp.zeros((h, w), jnp.int32)
-        cur = jnp.zeros((h, w), jnp.uint32)
         bit = 0
-        plane_i = 0
         for dy in range(-M, M + 1):
             for dx in range(-M, M + 1):
                 if dy == 0 and dx == 0:
                     continue
                 nb = wmg[M + dy : M + dy + h, M + dx : M + dx + w]
-                cur = cur | (
-                    (nb < center).astype(jnp.uint32)
-                    << jnp.uint32(bit % 32)
-                )
+                bitv = (nb < center).astype(jnp.int32)
+                ham = ham + jnp.abs(bitv - refbits_ref[bit])
                 bit += 1
-                if bit % 32 == 0:
-                    ham = ham + jax.lax.population_count(
-                        cur ^ ref_code_refs[plane_i][:]
-                    ).astype(jnp.int32)
-                    cur = jnp.zeros((h, w), jnp.uint32)
-                    plane_i += 1
-        if bit % 32 != 0:
-            ham = ham + jax.lax.population_count(
-                cur ^ ref_code_refs[plane_i][:]
-            ).astype(jnp.int32)
 
         # out-of-view mask: identical float math to the XLA per_plane
         su = (x0 - pad_total + M).astype(jnp.float32) + fu
@@ -183,7 +176,6 @@ def plane_sweep_census_pallas(
     d_planes = shifts.shape[0]
     M = patch // 2
     n_bits = patch * patch - 1
-    n_planes = (n_bits + 31) // 32
 
     P = shift_pad + M + 1
     padded = jnp.pad(
@@ -204,8 +196,18 @@ def plane_sweep_census_pallas(
     sc = jnp.stack([y0, x0], axis=-1)  # (D, S, 2) int32
     fr = jnp.stack([fv, fu], axis=-1).astype(jnp.float32)
 
+    # unpack the reference census to one i32 bit plane per neighbour (the
+    # kernel accumulates hamming directly — in-kernel u32 bit packing
+    # miscompiles on this toolchain, see _sweep_kernel)
     ref_codes = census_transform(ref.astype(jnp.float32), (patch, patch))
-    code_ops = [ref_codes[..., p] for p in range(n_planes)]
+    refbits = jnp.stack(
+        [
+            ((ref_codes[..., b // 32] >> jnp.uint32(b % 32)) & 1).astype(
+                jnp.int32
+            )
+            for b in range(n_bits)
+        ]
+    )  # (n_bits, H, W)
 
     hp, wp = padded.shape[1], padded.shape[2]
     resident3 = lambda shape: pl.BlockSpec(
@@ -228,7 +230,7 @@ def plane_sweep_census_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             resident3((s_views, hp, wp)),
             resident3((s_views, hp, wp)),
-            *[resident3((h, w)) for _ in range(n_planes)],
+            resident3((n_bits, h, w)),
         ],
         out_specs=(fspec, nspec),
         out_shape=(fshape, nshape),
@@ -239,5 +241,5 @@ def plane_sweep_census_pallas(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sc, fr, hi, lo, *code_ops)
+    )(sc, fr, hi, lo, refbits)
     return fused, nv
