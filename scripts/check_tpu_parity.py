@@ -145,11 +145,63 @@ def check_plane_sweep_kernel():
           f"interior BIT-EXACT, plane agree {agree:.4f}")
 
 
+def check_plane_sweep_depth_end_to_end():
+    """Full config-3 pipeline (sweep + 128-plane SGM + subpixel plane) both
+    backends on device — exercises the packed WTA and fused RL extraction
+    at D=128 (the two-view checks cover D=64)."""
+    from stereovisionarray_tpu.config import EngineConfig, SGMConfig
+    from stereovisionarray_tpu.datasets import (
+        SceneSpec, reference_rig, render_camera_array,
+    )
+    from stereovisionarray_tpu.geometry.topology import (
+        PairTopology, camera_pairs,
+    )
+    from stereovisionarray_tpu.models.array_pipeline import _shift_warp_pad
+    from stereovisionarray_tpu.models.plane_sweep import plane_sweep_depth
+
+    ROWS = COLS = 5
+    H, W, PLANES = 270, 360, 128
+    cams = reference_rig(rows=ROWS, cols=COLS, spacing=0.05,
+                         resolution=(H, W))
+    images, _ = render_camera_array(cams, (H, W), SceneSpec())
+    images = jnp.asarray(np.round(np.asarray(images)))
+    cfg = EngineConfig().override(**{
+        "camera.rows": ROWS, "camera.cols": COLS,
+        "plane_sweep.num_planes": PLANES, "plane_sweep.topology": "CROSS",
+    })
+    ref_index = (ROWS // 2) * COLS + COLS // 2
+    pairs = camera_pairs(PairTopology("CROSS"), rows=ROWS, cols=COLS,
+                         center=ref_index)
+    src_indices = tuple(int(b) for a, b in pairs if a == ref_index)
+    pad = _shift_warp_pad(cams, ref_index, src_indices, cfg)
+    sgm = SGMConfig(p1=4.0, p2=32.0, num_paths=8, adaptive_p2=True)
+    out_p = plane_sweep_depth(images, cams, ref_index, src_indices,
+                              cfg.plane_sweep, sgm, shift_pad=pad,
+                              backend="pallas")
+    out_x = plane_sweep_depth(images, cams, ref_index, src_indices,
+                              cfg.plane_sweep, sgm, shift_pad=pad,
+                              backend="xla")
+    both = np.asarray(out_p.valid) & np.asarray(out_x.valid)
+    rel = (
+        np.abs(np.asarray(out_p.depth) - np.asarray(out_x.depth))[both]
+        / np.maximum(np.asarray(out_x.depth)[both], 1e-6)
+    )
+    med = float(np.median(rel))
+    close = float((rel < 0.02).mean())
+    # int16 fixed-point SGM vs float SGM + border-ring costs: tolerance,
+    # not exactness — but the medians must be tight
+    assert med < 1e-3, f"median rel depth diff {med}"
+    assert close > 0.97, f"within-2% fraction {close}"
+    print(f"PASS plane-sweep depth end-to-end pallas-vs-xla (D=128): "
+          f"median rel {med:.2e}, within-2% {close:.4f}")
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     check_two_view()
     check_fused_extraction_bit_exact()
     check_plane_sweep_kernel()
+    check_plane_sweep_depth_end_to_end()
     print("ALL TPU PARITY CHECKS PASS")
 
 
