@@ -419,7 +419,12 @@ def plane_sweep_depth(
     inv_depth = inv_near + k * step
     depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
 
-    views_at_win = jnp.take_along_axis(nv, k_int[..., None], axis=-1)[..., 0]
+    # one-hot select, NOT take_along_axis: a per-pixel gather serializes
+    # on TPU (measured ~1 ms/lookup at this shape in ops/refine.py)
+    d_sel = jax.lax.broadcasted_iota(jnp.int32, nv.shape, nv.ndim - 1)
+    views_at_win = jnp.sum(
+        jnp.where(d_sel == k_int[..., None], nv, 0), axis=-1
+    )
     valid = views_at_win >= min_views
     if mask is not None:
         valid = valid & mask
