@@ -119,7 +119,12 @@ def _plane_sweep_program(
         k = subpixel_refine(vol, k_int)
         inv_depth = inv_near + k * step
         depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
-        views_at_win = jnp.take_along_axis(nv, k_int[..., None], axis=-1)[..., 0]
+        # one-hot select — take_along_axis is a serialized per-pixel
+        # gather on TPU (see models/plane_sweep.py; measured ~1 ms/lookup)
+        d_sel = jax.lax.broadcasted_iota(jnp.int32, nv.shape, nv.ndim - 1)
+        views_at_win = jnp.sum(
+            jnp.where(d_sel == k_int[..., None], nv, 0), axis=-1
+        )
         valid = views_at_win >= min_views
         depth = jnp.where(valid, depth, 0.0)
         return depth, k, cost, valid, views_at_win

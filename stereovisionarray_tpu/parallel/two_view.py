@@ -505,8 +505,11 @@ def sharded_wta(
         cs = lax.all_gather(c_loc, AXIS_DISP)  # (n_disp, h, w) in d order
         ds = lax.all_gather(d_glob, AXIS_DISP)
         k = jnp.argmin(cs, axis=0)
-        best_c = jnp.take_along_axis(cs, k[None], axis=0)[0]
-        best_d = jnp.take_along_axis(ds, k[None], axis=0)[0]
+        # one-hot select over the tiny shard axis — take_along_axis is a
+        # serialized per-pixel gather on TPU (see ops/wta._value_at)
+        sel = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 0) == k[None]
+        best_c = jnp.sum(jnp.where(sel, cs, 0), axis=0)
+        best_d = jnp.sum(jnp.where(sel, ds, 0), axis=0)
         return best_d, best_c
 
     return jax.shard_map(
