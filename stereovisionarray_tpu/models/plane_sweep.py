@@ -64,6 +64,40 @@ def _box_filter(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return along(along(x, -1), -2)
 
 
+def translation_shifts(
+    cameras: CameraArray, ref_index: int, src, depths: jnp.ndarray
+) -> jnp.ndarray:
+    """(S, D, 2) exact per-plane pixel shifts (su, sv) for the
+    translation-only fast path: warping source s to the reference at plane
+    depth d samples ``src(u + su, v + sv)`` with
+
+        su(d) = fx * (t_src - t_ref).x / d + (cx_s - cx_r)
+
+    (and sv analogously). Algebraically this IS the fronto-plane
+    homography's (H[0,2]/H[2,2], H[1,2]/H[2,2]) for the R = I, equal-focal,
+    equal-z rigs the ``shift_pad > 0`` gate admits, but computed WITHOUT
+    the K^{-1} matrix round trip: the homography chain leaves
+    ``fx * (cx/fx) != cx`` dirt of ~1e-5 px in components that are exactly
+    zero, which defeats the sweep kernel's static axis-aligned fast path
+    (ops/sweep_pallas.py::_static_axis_flags) and slightly biases the warp.
+    """
+    src = jnp.atleast_1d(jnp.asarray(src))
+    n = cameras.t.shape[0]
+    fx = jnp.broadcast_to(cameras.fx, (n,))
+    fy = jnp.broadcast_to(cameras.fy, (n,))
+    cx = jnp.broadcast_to(cameras.cx, (n,))
+    cy = jnp.broadcast_to(cameras.cy, (n,))
+    t_rel = cameras.t[src] - cameras.t[ref_index]  # (S, 3); R == I gate
+    inv_d = 1.0 / depths  # (D,)
+    su = fx[src][:, None] * t_rel[:, 0:1] * inv_d[None, :] + (
+        cx[src] - cx[ref_index]
+    )[:, None]
+    sv = fy[src][:, None] * t_rel[:, 1:2] * inv_d[None, :] + (
+        cy[src] - cy[ref_index]
+    )[:, None]
+    return jnp.stack([su, sv], axis=-1)
+
+
 def _view_cost(
     ref: jnp.ndarray,
     ref_census: Optional[jnp.ndarray],
@@ -208,7 +242,6 @@ def plane_sweep_volume(
     if depths is None:
         depths = inverse_depth_samples(cfg.z_near, cfg.z_far, cfg.num_planes, dtype=dtype)
     src = jnp.asarray(src_indices, dtype=jnp.int32)
-    H_all = cameras.fronto_plane_homography(ref_index, src, depths)  # (S, D, 3, 3)
 
     ref_census = (
         census_transform(ref, (cfg.patch, cfg.patch)) if cfg.cost == "census" else None
@@ -237,7 +270,7 @@ def plane_sweep_volume(
         )
 
         shifts = jnp.swapaxes(
-            H_all[..., :2, 2] / H_all[..., 2:3, 2], 0, 1
+            translation_shifts(cameras, ref_index, src, depths), 0, 1
         )  # (D, S, 2)
         fused, nviews = plane_sweep_census_pallas(
             ref,
@@ -255,9 +288,8 @@ def plane_sweep_volume(
     if shift_pad > 0:
         pad = shift_pad + 1
         padded = jnp.pad(src_images, ((0, 0), (pad, pad), (pad, pad)))
-        # (S, D, 2): (su, sv) per view/plane (normalized; H22 == 1 exactly
-        # for the translation-only equal-z rigs this path is gated to)
-        shifts = H_all[..., :2, 2] / H_all[..., 2:3, 2]
+        # (S, D, 2): (su, sv) per view/plane, in the exact closed form
+        shifts = translation_shifts(cameras, ref_index, src, depths)
         v_iota = jax.lax.broadcasted_iota(dtype, (h, w), 0)
         u_iota = jax.lax.broadcasted_iota(dtype, (h, w), 1)
 
@@ -281,6 +313,10 @@ def plane_sweep_volume(
             per_plane, jnp.swapaxes(shifts, 0, 1), cfg.plane_chunk
         )
     else:
+        H_all = cameras.fronto_plane_homography(
+            ref_index, src, depths
+        )  # (S, D, 3, 3)
+
         def per_plane(Hs_d):
             # Hs_d: (S, 3, 3) homographies of every source view for this plane
             def per_view(img, Hm):

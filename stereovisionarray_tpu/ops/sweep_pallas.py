@@ -38,7 +38,9 @@ index maps); HBM traffic is one source read + the fused volume write.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -54,9 +56,9 @@ def _dot(a, b):
     )
 
 
-def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, refbits_ref, fused_ref,
-                  nv_ref, *, n_views, h, w, margin, patch, pad_total,
-                  n_bits, valid_mean):
+def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, sgn_ref, base_ref,
+                  fused_ref, nv_ref, *, n_views, h, w, margin, patch,
+                  pad_total, n_bits, valid_mean, axis_flags):
     d = pl.program_id(0)
     M = margin
     hp = hi_ref.shape[1]
@@ -77,44 +79,82 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, refbits_ref, fused_ref,
         x0 = sc_ref[d, s, 1]
         fv = f_ref[d, s, 0]
         fu = f_ref[d, s, 1]
+        flag = axis_flags[s]
 
-        # exact gather: rows y0..y0+hm-1, cols x0..x0+wm-1 via one-hot MXU
-        rp = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 1)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 0)
-        sy = (rp == y0 + rr).astype(jnp.bfloat16)
-        a = _dot(sy, hi_ref[s]) + _dot(sy, lo_ref[s])  # (hm, wp) f32
-        cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
-        sx = (cp == x0 + cc).astype(jnp.bfloat16)
-        a_hi = a.astype(jnp.bfloat16)
-        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b = _dot(a_hi, sx) + _dot(a_lo, sx)  # (hm, wm) f32
+        # exact gather: rows y0..y0+hm-1, cols x0..x0+wm-1. The general
+        # mechanism is one-hot MXU selection per axis (the only legal
+        # dynamic-offset form on this toolchain — module docstring), but an
+        # axis whose shift is STATICALLY zero for every plane (the CROSS
+        # rig: each source moves along exactly one axis) collapses to a
+        # free static slice: y0 = pad_total - M is then a compile-time
+        # constant, and selecting rows of hi/lo by slice is bit-identical
+        # to the bf16 one-hot matmul (0/1 weights select exactly).
+        if flag == "x":  # sv == 0 for all planes -> static row window:
+            # the original bf16 hi/lo operands sliced by rows feed the
+            # column matmuls directly — no f32 combine + re-split, and the
+            # sum dot(hi_rows, sx) + dot(lo_rows, sx) equals the one-hot
+            # column selection of f32(hi) + f32(lo) exactly
+            Y0 = pad_total - M
+            cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
+            sx = (cp == x0 + cc).astype(jnp.bfloat16)
+            b = _dot(hi_ref[s, Y0 : Y0 + hm, :], sx) + _dot(
+                lo_ref[s, Y0 : Y0 + hm, :], sx
+            )  # (hm, wm) f32
+        else:
+            rp = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 1)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 0)
+            sy = (rp == y0 + rr).astype(jnp.bfloat16)
+            a = _dot(sy, hi_ref[s]) + _dot(sy, lo_ref[s])  # (hm, wp) f32
+            if flag == "y":  # su == 0 everywhere -> static column window
+                # exact (no re-split residual): a[:, X0:X0+wm] IS the window
+                X0 = pad_total - M
+                b = a[:, X0 : X0 + wm]
+            else:
+                cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
+                cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
+                sx = (cp == x0 + cc).astype(jnp.bfloat16)
+                a_hi = a.astype(jnp.bfloat16)
+                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                b = _dot(a_hi, sx) + _dot(a_lo, sx)  # (hm, wm) f32
 
-        # bilinear lerp, same op order as _shift_warp (bit-compat interior)
-        top = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
-        bot = b[1:, :-1] * (1.0 - fu) + b[1:, 1:] * fu
-        wmg = top * (1.0 - fv) + bot * fv  # (h+2M, w+2M) margin-warped
+        # bilinear lerp, same op order as _shift_warp (bit-compat interior).
+        # A statically-zero fractional component drops its lerp arm: with
+        # fv == 0, top*(1-fv) + bot*fv == top bit-for-bit (x*1.0 == x,
+        # x + bot*0.0 == x up to the sign of zero, which census < ignores).
+        if flag == "x":  # fv == 0
+            wmg = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
+        elif flag == "y":  # fu == 0
+            wmg = b[:-1, :-1] * (1.0 - fv) + b[1:, :-1] * fv
+        else:
+            top = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
+            bot = b[1:, :-1] * (1.0 - fu) + b[1:, 1:] * fu
+            wmg = top * (1.0 - fv) + bot * fv  # (h+2M, w+2M) margin-warped
 
-        # Hamming accumulates DIRECTLY against unpacked reference census
-        # bits (refbits_ref: (n_bits, h, w) i32) — the classical
-        # pack-then-popcount form miscompiles on this v5e toolchain: a
-        # 24-deep u32 `cur | (mask << bit)` chain silently drops bits
-        # 16-18/20-22 on device (each offset is exact in isolation, every
-        # packing variant — select-of-constants, i32 shifts, per-dy
-        # subchains — fails identically; interpret mode is correct). i32
-        # mask adds are immune; see the probes referenced in the module
-        # docstring. Same ALU count minus the popcount.
+        # Hamming accumulates DIRECTLY against the reference census as a
+        # signed-select sum: per bit, XOR(warped_bit, ref_bit) equals
+        # ref_bit + (1 - 2*ref_bit) * warped_bit, so with the precomputed
+        # sign planes sgn_ref = 1 - 2*ref_bit (f32) and their per-pixel sum
+        # base_ref = sum(ref_bits), each bit costs compare+select+add (the
+        # earlier cmp/cast/sub/abs/add i32 form was ~5 VPU ops). All values
+        # are small integers in f32 — exact, same hamming to the bit. The
+        # classical pack-then-popcount form miscompiles on this v5e
+        # toolchain: a 24-deep u32 `cur | (mask << bit)` chain silently
+        # drops bits 16-18/20-22 on device (each offset is exact in
+        # isolation, every packing variant — select-of-constants, i32
+        # shifts, per-dy subchains — fails identically; interpret mode is
+        # correct). Per-bit adds are immune; see the module docstring.
         center = wmg[M : M + h, M : M + w]
-        ham = jnp.zeros((h, w), jnp.int32)
+        acc = jnp.zeros((h, w), jnp.float32)
         bit = 0
         for dy in range(-M, M + 1):
             for dx in range(-M, M + 1):
                 if dy == 0 and dx == 0:
                     continue
                 nb = wmg[M + dy : M + dy + h, M + dx : M + dx + w]
-                bitv = (nb < center).astype(jnp.int32)
-                ham = ham + jnp.abs(bitv - refbits_ref[bit])
+                acc = acc + jnp.where(nb < center, sgn_ref[bit], 0.0)
                 bit += 1
+        ham = base_ref[...] + acc  # exact integer-valued f32 hamming
 
         # out-of-view mask: identical float math to the XLA per_plane
         su = (x0 - pad_total + M).astype(jnp.float32) + fu
@@ -128,11 +168,11 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, refbits_ref, fused_ref,
         if valid_mean:
             # cfg.fusion == "mean": average over the VALID views only
             # (matches _fuse_views: sum(where(ok, c, 0)) / max(count, 1))
-            fused = fused + jnp.where(ok, ham.astype(jnp.float32), 0.0)
+            fused = fused + jnp.where(ok, ham, 0.0)
         else:
             # topk_mean with k >= S: plain mean with ceiling-padded
             # out-of-view entries (matches jnp.mean over where(ok, c, ceil))
-            fused = fused + jnp.where(ok, ham.astype(jnp.float32), ceiling)
+            fused = fused + jnp.where(ok, ham, ceiling)
         nv = nv + ok.astype(jnp.int32)
 
     if valid_mean:
@@ -142,10 +182,31 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, refbits_ref, fused_ref,
     nv_ref[0] = nv
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("patch", "shift_pad", "valid_mean", "interpret"),
-)
+def _static_axis_flags(shifts) -> Optional[Tuple[Optional[str], ...]]:
+    """Per-view axis flag when `shifts` is concrete at trace time (the
+    usual case: homographies derive from host-side cameras and static plane
+    depths, so they are constants even under an outer jit over the images).
+
+    'x' = the view's sv shift is exactly 0 for EVERY plane (motion along x
+    only — both CROSS arms and the grid's axis rows/cols), 'y' = su is 0
+    everywhere, None = general. Traced shifts (e.g. under shard_map) return
+    None -> the kernel keeps the fully dynamic one-hot path for all views.
+    """
+    try:
+        sh = np.asarray(shifts)
+    except Exception:
+        return None
+    flags = []
+    for s in range(sh.shape[1]):
+        if np.all(sh[:, s, 1] == 0.0):
+            flags.append("x")
+        elif np.all(sh[:, s, 0] == 0.0):
+            flags.append("y")
+        else:
+            flags.append(None)
+    return tuple(flags)
+
+
 def plane_sweep_census_pallas(
     ref: jnp.ndarray,
     src_images: jnp.ndarray,
@@ -170,6 +231,25 @@ def plane_sweep_census_pallas(
     interior (border ring of ``patch//2`` px: the kernel censuses real
     shifted content where XLA edge-clamps the warped image).
     """
+    flags = _static_axis_flags(shifts)
+    if flags is None:
+        flags = (None,) * src_images.shape[0]
+    return _census_sweep_impl(
+        ref, src_images, shifts, patch=patch, shift_pad=shift_pad,
+        valid_mean=valid_mean, interpret=interpret, axis_flags=flags,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "patch", "shift_pad", "valid_mean", "interpret", "axis_flags"
+    ),
+)
+def _census_sweep_impl(
+    ref, src_images, shifts, *, patch, shift_pad, valid_mean, interpret,
+    axis_flags,
+):
     from stereovisionarray_tpu.ops.census import census_transform
 
     s_views, h, w = src_images.shape
@@ -196,9 +276,10 @@ def plane_sweep_census_pallas(
     sc = jnp.stack([y0, x0], axis=-1)  # (D, S, 2) int32
     fr = jnp.stack([fv, fu], axis=-1).astype(jnp.float32)
 
-    # unpack the reference census to one i32 bit plane per neighbour (the
-    # kernel accumulates hamming directly — in-kernel u32 bit packing
-    # miscompiles on this toolchain, see _sweep_kernel)
+    # unpack the reference census into per-neighbour SIGN planes
+    # (1 - 2*bit) plus the per-pixel bit-count base — the kernel
+    # accumulates hamming directly as signed f32 selects (in-kernel u32
+    # bit packing miscompiles on this toolchain, see _sweep_kernel)
     ref_codes = census_transform(ref.astype(jnp.float32), (patch, patch))
     refbits = jnp.stack(
         [
@@ -208,6 +289,8 @@ def plane_sweep_census_pallas(
             for b in range(n_bits)
         ]
     )  # (n_bits, H, W)
+    sgn = (1 - 2 * refbits).astype(jnp.float32)
+    base = jnp.sum(refbits, axis=0).astype(jnp.float32)  # (H, W)
 
     hp, wp = padded.shape[1], padded.shape[2]
     resident3 = lambda shape: pl.BlockSpec(
@@ -223,6 +306,7 @@ def plane_sweep_census_pallas(
         functools.partial(
             _sweep_kernel, n_views=s_views, h=h, w=w, margin=M, patch=patch,
             pad_total=P, n_bits=n_bits, valid_mean=bool(valid_mean),
+            axis_flags=axis_flags,
         ),
         grid=(d_planes,),
         in_specs=[
@@ -231,6 +315,7 @@ def plane_sweep_census_pallas(
             resident3((s_views, hp, wp)),
             resident3((s_views, hp, wp)),
             resident3((n_bits, h, w)),
+            resident3((h, w)),
         ],
         out_specs=(fspec, nspec),
         out_shape=(fshape, nshape),
@@ -241,5 +326,5 @@ def plane_sweep_census_pallas(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sc, fr, hi, lo, refbits)
+    )(sc, fr, hi, lo, sgn, base)
     return fused, nv
