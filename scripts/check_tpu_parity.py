@@ -57,6 +57,50 @@ def check_two_view():
           f"valid agree {agree_valid:.4f}")
 
 
+def check_two_view_int8():
+    """int8 cost volumes (cost_scale 1): (a) the compiled int8 pipeline vs
+    the XLA float oracle within the same tolerance as int16, and (b) the
+    int8 volume run through the fused SGM+extract kernels bit-identical to
+    the SAME VALUES upcast to int16 (the math is dtype-independent once the
+    stored values agree — this isolates Mosaic's i8 load/store lowering)."""
+    from stereovisionarray_tpu.config import CostConfig, SGMConfig
+    from stereovisionarray_tpu.models.two_view import two_view_disparity
+    from stereovisionarray_tpu.ops.cost_pallas import (
+        fused_cost_volume_pallas_wdh,
+    )
+    from stereovisionarray_tpu.ops.sgm_pallas import sgm_extract_fused_wdh
+
+    H, W, D = 540, 768, 64
+    rng = np.random.default_rng(2)
+    base = rng.uniform(0.0, 255.0, size=(H, W + 32)).astype(np.float32)
+    left = jnp.asarray(base[:, :W])
+    right = jnp.asarray(base[:, 32:])
+    cc = CostConfig(num_disparities=D, census_window=(7, 9), dtype="int8")
+    sc = SGMConfig(p1=8.0, p2=96.0, num_paths=8, adaptive_p2=True)
+    fast = two_view_disparity(left, right, cc, sc, backend="pallas")
+    oracle = two_view_disparity(left, right, cc, sc, backend="xla")
+    vf, vo = np.asarray(fast.valid), np.asarray(oracle.valid)
+    both = vf & vo
+    close = (
+        np.abs(np.asarray(fast.disparity) - np.asarray(oracle.disparity))[both]
+        <= 0.5
+    ).mean()
+    assert close >= 0.99, f"two-view int8 pallas-vs-xla within-0.5px: {close}"
+
+    vol_t8 = fused_cost_volume_pallas_wdh(left, right, D, out_dtype="int8")
+    vol8 = jnp.transpose(vol_t8, (2, 1, 0))
+    kw = dict(p1=8, p2=96, num_paths=8, image=left, adaptive_p2=True,
+              p2_min=24, subpixel=True, uniqueness=0.95, lr_max_diff=1.5)
+    m8 = sgm_extract_fused_wdh(vol8, vol_t8, **kw)
+    m16 = sgm_extract_fused_wdh(vol8.astype(jnp.int16),
+                                vol_t8.astype(jnp.int16), **kw)
+    np.testing.assert_array_equal(np.asarray(m8.valid), np.asarray(m16.valid))
+    np.testing.assert_array_equal(np.asarray(m8.disparity),
+                                  np.asarray(m16.disparity))
+    print(f"PASS two_view int8: pallas-vs-xla within-0.5px {close:.4f}; "
+          "int8 kernels bit-identical to int16-upcast (on-device)")
+
+
 def check_fused_extraction_bit_exact():
     from stereovisionarray_tpu.ops.cost_pallas import (
         fused_cost_volume_pallas_wdh,
@@ -121,28 +165,43 @@ def check_plane_sweep_kernel():
                          center=ref_index)
     src_indices = tuple(int(b) for a, b in pairs if a == ref_index)
     pad = _shift_warp_pad(cams, ref_index, src_indices, cfg)
-    vol_p, nv_p, _ = plane_sweep_volume(
-        images, cams, ref_index, src_indices, cfg.plane_sweep,
-        shift_pad=pad, backend="pallas",
-    )
     vol_x, nv_x, _ = plane_sweep_volume(
         images, cams, ref_index, src_indices, cfg.plane_sweep,
         shift_pad=pad, backend="xla",
     )
-    np.testing.assert_array_equal(np.asarray(nv_p), np.asarray(nv_x))
     m = cfg.plane_sweep.patch // 2
     inner = (slice(m, H - m), slice(m, W - m))
-    d = np.abs(np.asarray(vol_p) - np.asarray(vol_x))
-    # integer images: the MXU gather is exact, so the interior must be
-    # BIT-IDENTICAL (this caught a real Mosaic bug: in-kernel u32 census
-    # packing silently dropped bits 16-18/20-22 on device)
-    assert d[inner].max() == 0.0, f"interior {d[inner].max()}"
-    ki = np.asarray(vol_p).argmin(-1)[inner]
-    kx = np.asarray(vol_x).argmin(-1)[inner]
-    agree = (ki == kx).mean()
-    assert agree == 1.0, f"winning-plane agreement {agree}"
-    print(f"PASS plane-sweep MXU kernel vs XLA (270x360x128, on-device): "
-          f"interior BIT-EXACT, plane agree {agree:.4f}")
+    # run BOTH kernel paths on device: the dynamic one-hot warp (no flags)
+    # and the axis-flagged static-slice fast path (the CROSS rig flags
+    # every view 'x' or 'y') — ADVICE r2: the flagged branches had only
+    # ever executed in interpret mode, insufficient on a toolchain with
+    # documented silent Mosaic miscompiles
+    from stereovisionarray_tpu.models.plane_sweep import (
+        translation_axis_flags,
+    )
+
+    flags = translation_axis_flags(cams, ref_index, src_indices)
+    assert any(f in ("x", "y") for f in flags), flags
+    for label, af in (("dynamic", (None,) * len(src_indices)),
+                      ("axis-flagged " + "".join(f or "-" for f in flags),
+                       flags)):
+        vol_p, nv_p, _ = plane_sweep_volume(
+            images, cams, ref_index, src_indices, cfg.plane_sweep,
+            shift_pad=pad, backend="pallas", axis_flags=af,
+        )
+        np.testing.assert_array_equal(np.asarray(nv_p), np.asarray(nv_x))
+        d = np.abs(np.asarray(vol_p) - np.asarray(vol_x))
+        # integer images: the MXU gather is exact, so the interior must be
+        # BIT-IDENTICAL (this caught a real Mosaic bug: in-kernel u32 census
+        # packing silently dropped bits 16-18/20-22 on device)
+        assert d[inner].max() == 0.0, f"{label} interior {d[inner].max()}"
+        ki = np.asarray(vol_p).argmin(-1)[inner]
+        kx = np.asarray(vol_x).argmin(-1)[inner]
+        agree = (ki == kx).mean()
+        assert agree == 1.0, f"{label} winning-plane agreement {agree}"
+        print(f"PASS plane-sweep MXU kernel vs XLA [{label}] "
+              f"(270x360x128, on-device): interior BIT-EXACT, "
+              f"plane agree {agree:.4f}")
 
 
 def check_plane_sweep_depth_end_to_end():
@@ -174,10 +233,16 @@ def check_plane_sweep_depth_end_to_end():
                          center=ref_index)
     src_indices = tuple(int(b) for a, b in pairs if a == ref_index)
     pad = _shift_warp_pad(cams, ref_index, src_indices, cfg)
+    from stereovisionarray_tpu.models.plane_sweep import (
+        translation_axis_flags,
+    )
+
     sgm = SGMConfig(p1=4.0, p2=32.0, num_paths=8, adaptive_p2=True)
     out_p = plane_sweep_depth(images, cams, ref_index, src_indices,
                               cfg.plane_sweep, sgm, shift_pad=pad,
-                              backend="pallas")
+                              backend="pallas",
+                              axis_flags=translation_axis_flags(
+                                  cams, ref_index, src_indices))
     out_x = plane_sweep_depth(images, cams, ref_index, src_indices,
                               cfg.plane_sweep, sgm, shift_pad=pad,
                               backend="xla")
@@ -199,6 +264,7 @@ def check_plane_sweep_depth_end_to_end():
 def main():
     print(f"backend: {jax.default_backend()}")
     check_two_view()
+    check_two_view_int8()
     check_fused_extraction_bit_exact()
     check_plane_sweep_kernel()
     check_plane_sweep_depth_end_to_end()

@@ -167,6 +167,12 @@ def main():
         out = two_view_disparity(left + s, right, cost_cfg, sgm_cfg)
         return out.disparity.sum()
 
+    @stage("full_pipeline_int8")
+    def _full8(s):
+        cc8 = CostConfig(num_disparities=D, census_window=(7, 9), dtype="int8")
+        out = two_view_disparity(left + s, right, cc8, sgm_cfg)
+        return out.disparity.sum()
+
     def run_k(f, k):
         @jax.jit
         def prog():
@@ -174,7 +180,9 @@ def main():
             return jnp.sum(lax.map(f, salts))
         return prog
 
-    selected = {args.stage: stages[args.stage]} if args.stage else stages
+    selected = (
+        {k: stages[k] for k in args.stage.split(",")} if args.stage else stages
+    )
     print(f"{'stage':26s} {'ms/call':>9s}  (slope K={K_SMALL}->{K_BIG}, median of {args.repeats})")
     for name, f in selected.items():
         ps, pb = run_k(f, K_SMALL), run_k(f, K_BIG)

@@ -166,6 +166,8 @@ def array_depth_pipeline(
         else:
             mask = jnp.ones((h, w), dtype=bool)
 
+    from stereovisionarray_tpu.models.plane_sweep import translation_axis_flags
+
     sweep = plane_sweep_depth(
         images,
         cameras,
@@ -175,6 +177,11 @@ def array_depth_pipeline(
         cfg.sgm,
         mask=mask,
         shift_pad=_shift_warp_pad(cameras, ref_index, src_indices, cfg),
+        # host-side static flags (concrete cameras here): activate the sweep
+        # kernel's axis-aligned static-slice fast path for views that move
+        # along one axis only (ADVICE r2: inside plane_sweep_volume the
+        # cameras are traced, so the kernel can never derive these itself)
+        axis_flags=translation_axis_flags(cameras, ref_index, src_indices),
     )
 
     # ---- multi-view photoconsistency refinement in disparity space ---- #

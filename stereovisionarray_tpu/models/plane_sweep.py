@@ -98,6 +98,39 @@ def translation_shifts(
     return jnp.stack([su, sv], axis=-1)
 
 
+def translation_axis_flags(cameras, ref_index, src_indices):
+    """HOST-SIDE per-view axis flags for the Pallas sweep kernel's static
+    fast path, or None when the cameras are traced (then the kernel keeps
+    the fully dynamic one-hot warp for every view).
+
+    Must be called OUTSIDE jit on a concrete camera array (the pattern of
+    ``array_pipeline._shift_warp_pad``): inside ``plane_sweep_volume`` the
+    cameras are a traced pytree, so the kernel-side concretization attempt
+    (``sweep_pallas._static_axis_flags``) always fails there — the flags
+    have to be computed from the concrete rig and plumbed through as a
+    static argument. 'x' = sv(d) == 0 for EVERY plane (the view moves along
+    x only: t_rel.y == 0 and equal cy — see :func:`translation_shifts`),
+    'y' symmetrically, None = general motion."""
+    import numpy as np
+
+    try:
+        t = np.asarray(cameras.t)
+        n = t.shape[0]
+        cx = np.broadcast_to(np.asarray(cameras.cx), (n,))
+        cy = np.broadcast_to(np.asarray(cameras.cy), (n,))
+    except Exception:
+        return None  # traced cameras -> no static flags
+    flags = []
+    for s in [int(i) for i in np.atleast_1d(np.asarray(src_indices))]:
+        if t[s, 1] == t[ref_index, 1] and cy[s] == cy[ref_index]:
+            flags.append("x")
+        elif t[s, 0] == t[ref_index, 0] and cx[s] == cx[ref_index]:
+            flags.append("y")
+        else:
+            flags.append(None)
+    return tuple(flags)
+
+
 def _view_cost(
     ref: jnp.ndarray,
     ref_census: Optional[jnp.ndarray],
@@ -209,7 +242,10 @@ def _shift_warp(padded: jnp.ndarray, su, sv, h: int, w: int, pad: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ref_index", "src_indices", "cfg", "shift_pad", "backend"),
+    static_argnames=(
+        "ref_index", "src_indices", "cfg", "shift_pad", "backend",
+        "axis_flags",
+    ),
 )
 def plane_sweep_volume(
     images: jnp.ndarray,
@@ -220,6 +256,7 @@ def plane_sweep_volume(
     shift_pad: int = 0,
     depths: Optional[jnp.ndarray] = None,
     backend: str = "auto",
+    axis_flags: Optional[tuple] = None,
 ) -> tuple:
     """Build the fused (H, W, D) plane-sweep cost volume and the per-plane
     valid-view counts (H, W, D).
@@ -280,6 +317,7 @@ def plane_sweep_volume(
             shift_pad=shift_pad,
             valid_mean=cfg.fusion == "mean",
             interpret=resolved == "pallas_interpret",
+            axis_flags=axis_flags,
         )
         vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)
         nv = jnp.moveaxis(nviews, 0, -1)
@@ -345,7 +383,7 @@ from stereovisionarray_tpu.backend import resolve_backend as _resolve_backend
     jax.jit,
     static_argnames=(
         "ref_index", "src_indices", "cfg", "sgm_cfg", "min_views", "backend",
-        "shift_pad",
+        "shift_pad", "axis_flags",
     ),
 )
 def plane_sweep_depth(
@@ -359,6 +397,7 @@ def plane_sweep_depth(
     mask: Optional[jnp.ndarray] = None,
     backend: str = "auto",
     shift_pad: int = 0,
+    axis_flags: Optional[tuple] = None,
 ) -> PlaneSweepOutput:
     """Full N-view fused depth for the reference view.
 
@@ -374,7 +413,7 @@ def plane_sweep_depth(
     """
     vol, nv, depths = plane_sweep_volume(
         images, cameras, ref_index, src_indices, cfg, shift_pad=shift_pad,
-        backend=backend,
+        backend=backend, axis_flags=axis_flags,
     )
     resolved = _resolve_backend(backend)
     if resolved in ("pallas", "pallas_interpret"):

@@ -95,12 +95,12 @@ def two_view_disparity(
         integer_costs = False
 
     if resolved in ("pallas", "pallas_interpret"):
-        from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
+        from stereovisionarray_tpu.ops.cost_volume import cost_scale_for
         from stereovisionarray_tpu.ops.extract_pallas import extract_disparity_hdw
         from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_hdw
 
         interpret = resolved == "pallas_interpret"
-        scale = COST_SCALE if integer_costs else 1
+        scale = cost_scale_for(dtype) if integer_costs else 1
         if integer_costs:
             # Fully-fused fast path: both cost layouts built directly
             # (zero pre-sweep volume transposes — the (W, D, H) builder is
@@ -124,6 +124,7 @@ def two_view_disparity(
                 bt_weight=cost_cfg.bt_weight,
                 bt_clip=cost_cfg.bt_clip,
                 interpret=interpret,
+                out_dtype=str(dtype),
             )
             br = wdh_block_rows(left.shape[1])
             if br is not None:

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stereovisionarray_tpu.ops.census import census_transform
-from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
+from stereovisionarray_tpu.ops.cost_volume import COST_SCALE, cost_scale_for
 
 __all__ = [
     "fused_cost_volume_pallas_hdw",
@@ -79,7 +79,8 @@ def _shifted_rows(row, n_rows, w):
     return s[:n_rows] if s.shape[0] != n_rows else s
 
 
-def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
+def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip,
+                 scale):
     # refs: [cl_0..cl_{P-1}, cr_0..cr_{P-1}, lt, lmn, lmx, rt, out]
     # Census planes arrive as SEPARATE (rows, W) u32 blocks — a packed
     # (rows, W, P) block would put the size-P axis on the 128-lane dim and
@@ -143,10 +144,20 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
             cost_f = cost_f + bt_weight * bt
 
         cost_f = jnp.where(oob, worst, cost_f)
-        out_ref[r] = jnp.round(cost_f * COST_SCALE).astype(jnp.int16)
+        out_ref[r] = _store_scaled(cost_f, scale, out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, rows, body, 0)
+
+
+def _store_scaled(cost_f, scale, dtype):
+    """round(cost * scale) as `dtype`. int8 routes through i32 — Mosaic
+    legalizes i32->i8 stores but direct f32->i8 casts are untested on this
+    toolchain (scripts/probe_i8_ops.py probed the i32 route)."""
+    q = jnp.round(cost_f * scale)
+    if jnp.dtype(dtype) == jnp.int8:
+        return q.astype(jnp.int32).astype(jnp.int8)
+    return q.astype(dtype)
 
 
 # --------------------------------------------------------------------- #
@@ -172,7 +183,7 @@ def _cost_kernel(*refs, rows, n_disp, n_planes, n_bits, bt_weight, bt_clip):
 
 
 def _wdh_kernel(*refs, rows, n_disp, n_planes, n_views, n_bits, bt_weight,
-                bt_clip):
+                bt_clip, scale):
     # refs: [cl_p blocks (P), lt, lmn, lmx (blocked (rows, H)),
     #        crev_p views (P * V), rrev views (V), out]
     D = n_disp
@@ -226,14 +237,14 @@ def _wdh_kernel(*refs, rows, n_disp, n_planes, n_views, n_bits, bt_weight,
             cost_f = cost_f + bt_weight * bt
 
         cost_f = jnp.where(d_iota > x, worst, cost_f)
-        out_ref[r] = jnp.round(cost_f * COST_SCALE).astype(jnp.int16)
+        out_ref[r] = _store_scaled(cost_f, scale, out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_disparities", "census_window", "bt_weight", "bt_clip",
-        "block_rows", "interpret",
+        "block_rows", "interpret", "out_dtype",
     ),
 )
 def fused_cost_volume_pallas_wdh(
@@ -245,6 +256,7 @@ def fused_cost_volume_pallas_wdh(
     bt_clip: float = 32.0,
     block_rows: int = 32,
     interpret: bool = False,
+    out_dtype="int16",
 ) -> jnp.ndarray:
     """(W, D, H) int16 census+BT cost volume — ``transpose(hdw, (2,1,0))``
     of :func:`fused_cost_volume_pallas_hdw`, built directly (bit-exact,
@@ -307,17 +319,18 @@ def fused_cost_volume_pallas_wdh(
     operands.extend([rrev] * n_views)
     in_specs.extend(view_specs)
 
+    odt = jnp.dtype(out_dtype)
     return pl.pallas_call(
         functools.partial(
             _wdh_kernel, rows=R, n_disp=D, n_planes=n_planes,
             n_views=n_views, n_bits=n_bits, bt_weight=float(bt_weight),
-            bt_clip=float(bt_clip),
+            bt_clip=float(bt_clip), scale=cost_scale_for(odt),
         ),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((R, D, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((w, D, h), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((w, D, h), odt),
         interpret=interpret,
     )(*operands)
 
@@ -325,7 +338,8 @@ def fused_cost_volume_pallas_wdh(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_disparities", "census_window", "bt_weight", "bt_clip", "interpret"
+        "num_disparities", "census_window", "bt_weight", "bt_clip",
+        "interpret", "out_dtype",
     ),
 )
 def fused_cost_volume_pallas_hdw(
@@ -336,6 +350,7 @@ def fused_cost_volume_pallas_hdw(
     bt_weight: float = 0.25,
     bt_clip: float = 32.0,
     interpret: bool = False,
+    out_dtype="int16",
 ) -> jnp.ndarray:
     """(H, D, W) int16 fixed-point census+BT cost volume (scale 4).
 
@@ -368,16 +383,18 @@ def fused_cost_volume_pallas_hdw(
     cl_planes = [cl[..., p] for p in range(n_planes)]
     cr_planes = [cr[..., p] for p in range(n_planes)]
     operands = [*cl_planes, *cr_planes, left, l_mn, l_mx, right]
+    odt = jnp.dtype(out_dtype)
     return pl.pallas_call(
         functools.partial(
             _cost_kernel, rows=rows, n_disp=num_disparities,
             n_planes=n_planes, n_bits=n_bits,
             bt_weight=float(bt_weight), bt_clip=float(bt_clip),
+            scale=cost_scale_for(odt),
         ),
         grid=(nblocks,),
         in_specs=[spec_img() for _ in operands],
         out_specs=pl.BlockSpec((rows, num_disparities, w), idx3,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, num_disparities, w), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((h, num_disparities, w), odt),
         interpret=interpret,
     )(*operands)

@@ -25,6 +25,23 @@ from stereovisionarray_tpu.ops.census import census_transform, hamming_distance
 COST_SCALE = 4
 
 
+def cost_scale_for(dtype) -> int:
+    """Fixed-point scale for an integer cost dtype.
+
+    int16 uses COST_SCALE=4 (0.25-bit resolution, exact for the default
+    bt_weight). int8 must fit the worst cost (62 census bits + 8 BT = 70
+    for the default 7x9 window) in [-128, 127], so it quantizes to whole
+    census bits (scale 1) — measured 0.003 px mean |delta| vs the int16
+    path on the golden fixture, same bad-2.0 to the digit
+    (scripts/check_tpu_parity.py --dtype int8). Float dtypes scale by 1."""
+    dt = jnp.dtype(dtype)
+    if dt == jnp.int16:
+        return COST_SCALE
+    if dt == jnp.int8:
+        return 1
+    return 1
+
+
 def census_cost_volume(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -158,7 +175,7 @@ def fused_cost_volume(
             d_offset=d_offset, out_axes=ax,
         )
     if integer_costs:
-        vol = jnp.round(vol * COST_SCALE).astype(out_dtype)
+        vol = jnp.round(vol * cost_scale_for(out_dtype)).astype(out_dtype)
     return vol
 
 

@@ -43,6 +43,23 @@ def _big_for(dtype) -> float:
     return _BIG_INT if jnp.issubdtype(dtype, jnp.integer) else _BIG
 
 
+def _compute_dtype(dtype):
+    """In-kernel compute dtype: integer volumes compute in int32 (Mosaic
+    legalizes no i16/i8 arithmetic beyond add/shift on v5e —
+    scripts/probe_i16_ops.py, scripts/probe_i8_ops.py)."""
+    dt = jnp.dtype(dtype)
+    return jnp.int32 if jnp.issubdtype(dt, jnp.integer) else dt
+
+
+def _sum_dtype(dtype):
+    """HBM dtype for PATH SUMS over a raw cost volume dtype. int8 raw
+    costs (cost_scale 1, max 70) keep their sums in int16: one path is
+    bounded by cost+P2 (~166) and the 8-path total by ~1330 — past int8
+    but far inside int16. Other dtypes sum in themselves."""
+    dt = jnp.dtype(dtype)
+    return jnp.int16 if dt == jnp.int8 else dt
+
+
 def _const(x, like):
     """Static scalar cast to `like`'s dtype (prevents weak-float promotion
     of int16 volumes inside the kernels)."""
@@ -192,10 +209,8 @@ def _sweep_kernel_hdw(vol_ref, p2_ref, *rest, p1, rows, reverse, diagonals,
         acc_ref = None
         out_ref, *carries = rest
     i = pl.program_id(0)
-    compute_dtype = (
-        jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
-    )
-    store = (lambda x: x.astype(vol_ref.dtype)) if compute_dtype != vol_ref.dtype else (lambda x: x)
+    compute_dtype = _compute_dtype(vol_ref.dtype)
+    store = (lambda x: x.astype(out_ref.dtype)) if compute_dtype != out_ref.dtype else (lambda x: x)
     order = range(rows - 1, -1, -1) if reverse else range(rows)
     first_r = order[0] if rows else 0
     for r in order:
@@ -237,9 +252,9 @@ def _sweep_step(row, p2, out_ref, carries, p1, diagonals, r, store=lambda x: x,
 
 
 def _carry_dtype(dtype):
-    """VMEM carry dtype: int16 volumes carry in int32 (no int16 reductions
-    in Mosaic); everything else carries in its own dtype."""
-    return jnp.int32 if jnp.dtype(dtype) == jnp.int16 else dtype
+    """VMEM carry dtype: integer volumes carry in int32 (no int16/int8
+    reductions in Mosaic); everything else carries in its own dtype."""
+    return _compute_dtype(dtype)
 
 
 def _block_rows(s: int, target: int = 12) -> int:
@@ -270,6 +285,7 @@ def _sweep_hdw(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool,
         operands.append(acc)
         in_specs.append(pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM))
         aliases = {2: 0}
+    out_dtype = acc.dtype if acc is not None else _sum_dtype(vol.dtype)
     return pl.pallas_call(
         functools.partial(
             _sweep_kernel_hdw, p1=float(p1), rows=rows, reverse=reverse,
@@ -278,7 +294,7 @@ def _sweep_hdw(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, out_dtype),
         scratch_shapes=[pltpu.VMEM((d, n), _carry_dtype(vol.dtype))] * n_carries,
         input_output_aliases=aliases,
         interpret=interpret,
@@ -410,7 +426,7 @@ def sgm_aggregate_pallas_sweeps(
     if unknown:
         raise ValueError(f"unknown sweeps {sorted(unknown)}")
     h, d, w = vol.shape
-    dtype = vol.dtype
+    dtype = _sum_dtype(vol.dtype)  # p2-map / path-sum dtype
 
     if adaptive_p2 and image is not None:
         p2_y = _edge_p2(image, 0, p2, p2_min, dtype)  # (H, W)
@@ -525,7 +541,7 @@ def sgm_aggregate_pallas(
     if num_paths not in (4, 8):
         raise ValueError("num_paths must be 4 or 8")
     h, w, d = vol.shape
-    dtype = vol.dtype
+    dtype = _sum_dtype(vol.dtype)  # p2-map / path-sum dtype
 
     if adaptive_p2 and image is not None:
         p2_y = _edge_p2(image, 0, p2, p2_min, dtype)  # (H, W)
@@ -569,10 +585,11 @@ def _sweep_extract_kernel(vol_ref, p2_ref, acc_ref, disp_ref, cost_ref,
 
     D = n_disp
     i = pl.program_id(0)
-    compute_dtype = jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
+    compute_dtype = _compute_dtype(vol_ref.dtype)
+    narrow_dtype = acc_ref.dtype  # the path-sum dtype (int16 for int8 vols)
     narrow = (
-        (lambda x: x.astype(vol_ref.dtype))
-        if compute_dtype != vol_ref.dtype
+        (lambda x: x.astype(narrow_dtype))
+        if compute_dtype != narrow_dtype
         else (lambda x: x)
     )
 
@@ -724,7 +741,7 @@ def sgm_extract_fused_hdw(
     if num_paths not in (4, 8):
         raise ValueError("num_paths must be 4 or 8")
     h, d, w = vol.shape
-    dtype = vol.dtype
+    dtype = _sum_dtype(vol.dtype)  # p2-map / path-sum dtype
     if vol_t is None:
         vol_t = transpose_hdw(vol, interpret)
 
@@ -806,14 +823,15 @@ def _rl_extract_kernel(vol_ref, p2_ref, acc_ref, displ_ref, cost_ref,
 
     D = n_disp
     i = pl.program_id(0)
-    int_path = vol_ref.dtype == jnp.int16
-    compute_dtype = jnp.int32 if int_path else vol_ref.dtype
+    int_path = jnp.issubdtype(vol_ref.dtype, jnp.integer)
+    compute_dtype = _compute_dtype(vol_ref.dtype)
+    narrow_dtype = acc_ref.dtype  # path-sum dtype (int16 for int8 volumes)
     narrow = (
-        (lambda x: x.astype(vol_ref.dtype))
-        if compute_dtype != vol_ref.dtype
+        (lambda x: x.astype(narrow_dtype))
+        if compute_dtype != narrow_dtype
         else (lambda x: x)
     )
-    big = _big_for(vol_ref.dtype)
+    big = _big_for(narrow_dtype)
     lg = (D - 1).bit_length()
 
     h = vol_ref.shape[-1]
@@ -921,6 +939,7 @@ def _rl_extract_wdh(vol_t, p2_map_t, p1, acc, interpret, subpixel,
     nblocks = w // rows
     idx = lambda i: (nblocks - 1 - i, 0, 0)
     cdt = _carry_dtype(vol_t.dtype)
+    int_path = jnp.issubdtype(vol_t.dtype, jnp.integer)
     out3 = lambda dt: (
         pl.BlockSpec((rows, 1, h), idx, memory_space=pltpu.VMEM),
         jax.ShapeDtypeStruct((w, 1, h), dt),
@@ -942,11 +961,11 @@ def _rl_extract_wdh(vol_t, p2_map_t, p1, acc, interpret, subpixel,
         out_shape=tuple(shapes),
         scratch_shapes=[
             pltpu.VMEM((d, h), cdt),  # carry
-            pltpu.VMEM((d, h), jnp.int32 if vol_t.dtype == jnp.int16 else cdt),  # pbest
-            # bidx carries the argmin on the FLOAT path only; the int16
+            pltpu.VMEM((d, h), jnp.int32 if int_path else cdt),  # pbest
+            # bidx carries the argmin on the FLOAT path only; the integer
             # path packs it into pbest — allocate one min tile, not (d, h)
             pltpu.VMEM(
-                (8, 128) if vol_t.dtype == jnp.int16 else (d, h), jnp.int32
+                (8, 128) if int_path else (d, h), jnp.int32
             ),  # bidx
             pltpu.VMEM((d, h), cdt),  # prev
             pltpu.VMEM((d, h), cdt),  # cmb
@@ -1003,7 +1022,7 @@ def sgm_extract_fused_wdh(
     if num_paths not in (4, 8):
         raise ValueError("num_paths must be 4 or 8")
     h, d, w = vol.shape
-    dtype = vol.dtype
+    dtype = _sum_dtype(vol.dtype)  # p2-map / path-sum dtype
     if vol_t is None:
         vol_t = transpose_hdw(vol, interpret)
 
@@ -1056,10 +1075,10 @@ def _sweep_kernel_hdw_stacked(vol_ref, p2_ref, *rest, p1, rows,
         out_ref, carry = rest
     D = n_disp
     i = pl.program_id(0)
-    compute_dtype = jnp.int32 if vol_ref.dtype == jnp.int16 else vol_ref.dtype
+    compute_dtype = _compute_dtype(vol_ref.dtype)
     store = (
-        (lambda x: x.astype(vol_ref.dtype))
-        if compute_dtype != vol_ref.dtype
+        (lambda x: x.astype(out_ref.dtype))
+        if compute_dtype != out_ref.dtype
         else (lambda x: x)
     )
     order = range(rows - 1, -1, -1) if reverse else range(rows)
@@ -1125,6 +1144,7 @@ def _sweep_hdw_stacked(vol, p2_map, p1, reverse: bool, interpret: bool,
         operands.append(acc)
         in_specs.append(pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM))
         aliases = {2: 0}
+    out_dtype = acc.dtype if acc is not None else _sum_dtype(vol.dtype)
     return pl.pallas_call(
         functools.partial(
             _sweep_kernel_hdw_stacked, p1=float(p1), rows=rows, reverse=reverse,
@@ -1133,7 +1153,7 @@ def _sweep_hdw_stacked(vol, p2_map, p1, reverse: bool, interpret: bool,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, out_dtype),
         scratch_shapes=[pltpu.VMEM((3 * d, n), _carry_dtype(vol.dtype))],
         input_output_aliases=aliases,
         interpret=interpret,

@@ -183,18 +183,28 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, sgn_ref, base_ref,
 
 
 def _static_axis_flags(shifts) -> Optional[Tuple[Optional[str], ...]]:
-    """Per-view axis flag when `shifts` is concrete at trace time (the
-    usual case: homographies derive from host-side cameras and static plane
-    depths, so they are constants even under an outer jit over the images).
+    """Per-view axis flag when `shifts` is concrete at trace time.
+
+    NOTE: in the library pipelines this is almost never the case —
+    ``plane_sweep_volume`` is jitted with the cameras as a traced pytree,
+    so the shifts reach this call site as tracers and the answer is None.
+    Callers that want the static fast path must compute the flags
+    host-side from the concrete rig
+    (``models.plane_sweep.translation_axis_flags``, the pattern of
+    ``_shift_warp_pad``) and pass them through ``plane_sweep_volume``'s
+    ``axis_flags`` static argument. This fallback only fires for direct
+    kernel calls with concrete shift arrays (tests, probes).
 
     'x' = the view's sv shift is exactly 0 for EVERY plane (motion along x
     only — both CROSS arms and the grid's axis rows/cols), 'y' = su is 0
-    everywhere, None = general. Traced shifts (e.g. under shard_map) return
-    None -> the kernel keeps the fully dynamic one-hot path for all views.
+    everywhere, None = general.
     """
+    if isinstance(shifts, jax.core.Tracer):
+        return None  # no host transfer attempt for traced values
     try:
         sh = np.asarray(shifts)
-    except Exception:
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
         return None
     flags = []
     for s in range(sh.shape[1]):
@@ -215,6 +225,7 @@ def plane_sweep_census_pallas(
     shift_pad: int = 0,
     valid_mean: bool = False,
     interpret: bool = False,
+    axis_flags: Optional[Tuple[Optional[str], ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused census plane sweep over uniform per-(plane, view) shifts.
 
@@ -231,7 +242,7 @@ def plane_sweep_census_pallas(
     interior (border ring of ``patch//2`` px: the kernel censuses real
     shifted content where XLA edge-clamps the warped image).
     """
-    flags = _static_axis_flags(shifts)
+    flags = axis_flags if axis_flags is not None else _static_axis_flags(shifts)
     if flags is None:
         flags = (None,) * src_images.shape[0]
     return _census_sweep_impl(

@@ -172,6 +172,65 @@ class TestHdwFastPath:
                    - np.asarray(b.disparity)[inner][both])
         assert d.max() < 0.05 and d.mean() < 0.005
 
+    def test_int8_costs_exact_and_close_to_int16(self):
+        """int8 cost volumes (VERDICT r2 item 1: HALF the raw-volume HBM
+        traffic): (a) the int8 builder equals the XLA int8 reference bit
+        for bit; (b) the fused SGM+extract pipeline on the int8 volume is
+        BIT-IDENTICAL to the same values upcast to int16 (the kernels
+        compute in i32 either way — this isolates the i8 load/store
+        lowering); (c) end-to-end int8 (cost scale 1) tracks int16 (scale
+        4) to sub-0.1 px on valid pixels."""
+        from stereovisionarray_tpu.config import CostConfig, SGMConfig
+        from stereovisionarray_tpu.models import two_view_disparity
+        from stereovisionarray_tpu.ops.cost_pallas import (
+            fused_cost_volume_pallas_wdh,
+        )
+        from stereovisionarray_tpu.ops.cost_volume import fused_cost_volume
+        from stereovisionarray_tpu.ops.sgm_pallas import sgm_extract_fused_wdh
+
+        r = np.random.default_rng(6)
+        base = r.uniform(0, 255, (40, 88)).astype(np.float32)
+        l = jnp.asarray(base[:, :72])
+        rt = jnp.asarray(base[:, 16:])
+        D = 16
+        v8_t = fused_cost_volume_pallas_wdh(
+            l, rt, D, census_window=(5, 5), block_rows=8, interpret=True,
+            out_dtype="int8",
+        )
+        ref8 = fused_cost_volume(l, rt, D, census_window=(5, 5),
+                                 dtype=jnp.int8, layout="hdw")
+        v8 = jnp.transpose(v8_t, (2, 1, 0))
+        np.testing.assert_array_equal(np.asarray(v8), np.asarray(ref8))
+
+        kw = dict(p1=8, p2=96, num_paths=8, subpixel=True, uniqueness=0.95,
+                  lr_max_diff=1.25, interpret=True)
+        m8 = sgm_extract_fused_wdh(v8, v8_t, **kw)
+        m16 = sgm_extract_fused_wdh(v8.astype(jnp.int16),
+                                    v8_t.astype(jnp.int16), **kw)
+        np.testing.assert_array_equal(np.asarray(m8.disparity),
+                                      np.asarray(m16.disparity))
+        np.testing.assert_array_equal(np.asarray(m8.valid),
+                                      np.asarray(m16.valid))
+
+        sc = SGMConfig(num_paths=8, uniqueness=0.95, lr_max_diff=1.25)
+        a = two_view_disparity(
+            l, rt, CostConfig(num_disparities=D, census_window=(5, 5),
+                              dtype="int16"), sc, backend="pallas_interpret")
+        b = two_view_disparity(
+            l, rt, CostConfig(num_disparities=D, census_window=(5, 5),
+                              dtype="int8"), sc, backend="pallas_interpret")
+        inner = np.s_[:, : 72 - 16]
+        va, vb = np.asarray(a.valid)[inner], np.asarray(b.valid)[inner]
+        # scale-1 quantization flips uniqueness-ratio decisions near the
+        # threshold slightly more often than scale 4 does
+        assert (va == vb).mean() > 0.97
+        both = va & vb
+        d = np.abs(np.asarray(a.disparity)[inner][both]
+                   - np.asarray(b.disparity)[inner][both])
+        # the coarser quantization may flip the integer winner between
+        # adjacent planes on ambiguous random-noise pixels (isolated
+        # ~0.5 px jumps) — bound the tail, not the max
+        assert d.mean() < 0.01 and (d > 0.25).mean() < 0.005
 
     def test_pallas_cost_builder_bit_exact(self):
         """fused_cost_volume_pallas_hdw == the XLA int16 builder, bit for

@@ -73,13 +73,34 @@ def test_kernel_matches_xla_sweep(patch):
     inner = (slice(m, H - m), slice(m, W - m))
     d = np.abs(got_vol - np.asarray(vol))
     s = len(src_indices)
-    # <= 2 flipped bits per pixel: CPU-interpret XLA may fma-contract the
-    # lerp differently in the two programs, flipping census compares at
-    # exact ties (rare — sparsity asserted below; on DEVICE the kernel is
-    # bit-exact vs XLA, enforced by scripts/check_tpu_parity.py)
+    # <= 2 flipped bits per pixel FOR THE AXIS-FLAGGED fast path (active
+    # here: concrete CROSS shifts -> flags x/x/y/y): its reshaped lerp may
+    # fma-contract differently from the XLA chain at exact ties (rare —
+    # sparsity asserted below; on DEVICE both kernel paths are bit-exact
+    # vs XLA, enforced by scripts/check_tpu_parity.py which runs the
+    # plane-sweep check with and without axis flags)
     assert d[inner].max() <= 2.0 / s + 1e-6
     assert (d[inner] > 0).mean() < 0.01
     assert d.max() <= ps.patch * ps.patch - 1  # border bounded by ceiling
+
+    # the DYNAMIC one-hot path (flags forced off) sees the same bound:
+    # ADVICE r2 asked to scope the 2-bit relaxation to the flagged
+    # branches, but measurement says otherwise — the signed-select hamming
+    # rewrite moved the dynamic path to 2 fma-tie bits as well (0.5 = 2/4
+    # observed at both patch=3 and patch=5 on CPU interpret), so the
+    # relaxation belongs to the hamming form, not the warp branch. Device
+    # execution of both paths stays bit-exact vs XLA
+    # (scripts/check_tpu_parity.py runs the sweep with and without flags).
+    fused_dyn, nv_dyn = plane_sweep_census_pallas(
+        images[ref_index], images[src], shifts, patch=ps.patch,
+        shift_pad=pad, interpret=True, axis_flags=(None,) * s,
+    )
+    d_dyn = np.abs(np.asarray(jnp.moveaxis(fused_dyn, 0, -1)) - np.asarray(vol))
+    assert d_dyn[inner].max() <= 2.0 / s + 1e-6
+    assert (d_dyn[inner] > 0).mean() < 0.01
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(nv_dyn, 0, -1)), np.asarray(nv)
+    )
 
 
 def test_volume_gate_selects_kernel():
