@@ -290,7 +290,10 @@ def cmd_serve(args) -> int:
     import time
 
     from stereovisionarray_tpu.datasets import save_array, save_png
-    from stereovisionarray_tpu.models import frame_sets_from_dirs, stream_depth_maps
+    from stereovisionarray_tpu.models import (
+        frame_sets_from_dirs,
+        stream_depth_maps_chunked,
+    )
     from stereovisionarray_tpu.utils.obslog import MetricsLogger
 
     cfg = load_config(args)
@@ -308,10 +311,10 @@ def cmd_serve(args) -> int:
 
     t0 = time.perf_counter()
     count = 0
-    for res in stream_depth_maps(
+    for res in stream_depth_maps_chunked(
         frame_sets_from_dirs(dirs, half_res=args.half_res),
         cams, cfg, ref_index=args.ref_index, use_roi=args.roi,
-        depth=args.prefetch,
+        depth=args.prefetch, chunk=args.chunk,
     ):
         depth_np = np.asarray(res.output.refined_depth)
         save_png(os.path.join(args.output, f"depth_{res.index:04d}.png"), depth_np)
@@ -469,6 +472,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--half-res", action="store_true")
     p.add_argument("--prefetch", type=int, default=2,
                    help="frame sets in flight ahead of the consumer")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="frame sets per device program (lax.map batch; "
+                        "amortizes per-dispatch transport latency)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("evaluate", help="compare a result artifact vs ground truth")

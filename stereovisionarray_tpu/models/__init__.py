@@ -23,4 +23,5 @@ from stereovisionarray_tpu.models.serving import (  # noqa: F401
     FrameResult,
     frame_sets_from_dirs,
     stream_depth_maps,
+    stream_depth_maps_chunked,
 )

@@ -32,7 +32,12 @@ from stereovisionarray_tpu.models.array_pipeline import (
 )
 from stereovisionarray_tpu.parallel.streaming import StreamExecutor
 
-__all__ = ["FrameResult", "stream_depth_maps", "frame_sets_from_dirs"]
+__all__ = [
+    "FrameResult",
+    "stream_depth_maps",
+    "stream_depth_maps_chunked",
+    "frame_sets_from_dirs",
+]
 
 
 class FrameResult(NamedTuple):
@@ -102,3 +107,75 @@ def stream_depth_maps(
 
     for i, out in enumerate(executor.run(frames_only())):
         yield FrameResult(index=i, output=out, decode_s=decode_times[i])
+
+
+def stream_depth_maps_chunked(
+    frame_sets: Iterable[np.ndarray],
+    cameras: CameraArray,
+    cfg: EngineConfig = EngineConfig(),
+    ref_index: Optional[int] = None,
+    use_roi: bool = False,
+    depth: int = 2,
+    chunk: int = 8,
+    transfer_dtype: Optional[np.dtype] = None,
+) -> Iterator[FrameResult]:
+    """:func:`stream_depth_maps` with K frame sets per device program.
+
+    One jitted dispatch runs ``lax.map`` over a (K, N, H, W) chunk —
+    per-dispatch transport latency (the dominant cost on thin links such
+    as this environment's remote-TPU tunnel: ~15-25 ms/dispatch vs 6.5 ms
+    of device compute per set) is paid once per K sets instead of once per
+    set, exactly how bench.py batches frames. Results still arrive
+    strictly in order, one :class:`FrameResult` per input set; a ragged
+    final chunk is padded with its last set (single compiled shape) and
+    the padding is dropped before yielding. ``chunk=1`` falls back to the
+    per-set path unchanged.
+
+    The reference's anti-pattern being replaced: one blocking pipeline run
+    per invocation with GUI waits inside the loop
+    (``/root/reference/src/functions.cpp:42-43``)."""
+    if chunk <= 1:
+        yield from stream_depth_maps(
+            frame_sets, cameras, cfg, ref_index=ref_index, use_roi=use_roi,
+            depth=depth, transfer_dtype=transfer_dtype,
+        )
+        return
+
+    @jax.jit
+    def step(stack_dev):
+        def one(images):
+            return array_depth_pipeline(
+                images.astype(jnp.float32), cameras, cfg,
+                ref_index=ref_index, use_roi=use_roi,
+            )
+
+        return jax.lax.map(one, stack_dev)
+
+    executor = StreamExecutor(step, depth=depth)
+    meta: List[Tuple[int, List[float]]] = []  # (real sets, decode times)
+
+    def chunks() -> Iterator[np.ndarray]:
+        buf: List[np.ndarray] = []
+        times: List[float] = []
+        for frames in frame_sets:
+            t0 = time.perf_counter()
+            host = np.ascontiguousarray(frames)
+            if transfer_dtype is not None:
+                host = host.astype(transfer_dtype, copy=False)
+            buf.append(host)
+            times.append(time.perf_counter() - t0)
+            if len(buf) == chunk:
+                meta.append((chunk, times))
+                yield np.stack(buf)
+                buf, times = [], []
+        if buf:
+            meta.append((len(buf), times))
+            yield np.stack(buf + [buf[-1]] * (chunk - len(buf)))
+
+    idx = 0
+    for ci, out in enumerate(executor.run(chunks())):
+        n_real, times = meta[ci]
+        for k in range(n_real):
+            res = jax.tree_util.tree_map(lambda x, k=k: x[k], out)
+            yield FrameResult(index=idx, output=res, decode_s=times[k])
+            idx += 1

@@ -170,13 +170,22 @@ def _sweep(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool):
 
 
 def _recurrence_dw(prev, cost, p1, p2):
-    """One SGM step on a (D, N) front; p2: (1, N)."""
+    """One SGM step on a (D, N) front; p2: (1, N).
+
+    Border sentinel: the d=0 "up" neighbour (d-1) and d=D-1 "down"
+    neighbour (d+1) do not exist. ANY fill >= prev[d] is exact there,
+    because prev[d] itself is a candidate of the same min and p1 > 0 —
+    the classical prev[d] + p1 + 1 sentinel never wins. BIG-filling lets
+    the +p1 hoist OUT of the concats: one fat add on min(up, dn) instead
+    of one per branch (the VPU, not HBM, bounds the vertical sweeps)."""
     p1 = _const(p1, prev)
-    one = _const(1, prev)
+    big = jnp.full_like(prev[:1], _big_for(prev.dtype))
     prev_min = jnp.min(prev, axis=0, keepdims=True)  # (1, N)
-    up = jnp.concatenate([prev[:1] + p1 + one, prev[:-1] + p1], axis=0)
-    dn = jnp.concatenate([prev[1:] + p1, prev[-1:] + p1 + one], axis=0)
-    best = jnp.minimum(jnp.minimum(prev, prev_min + p2), jnp.minimum(up, dn))
+    up = jnp.concatenate([big, prev[:-1]], axis=0)
+    dn = jnp.concatenate([prev[1:], big], axis=0)
+    best = jnp.minimum(
+        jnp.minimum(prev, prev_min + p2), jnp.minimum(up, dn) + p1
+    )
     return cost + (best - prev_min)
 
 
@@ -620,17 +629,15 @@ def _sweep_extract_kernel(vol_ref, p2_ref, acc_ref, disp_ref, cost_ref,
                     axis=0,
                 )
                 p1c = _const(p1, shifted)
-                one = _const(1, shifted)
                 s3 = shifted.reshape(3, D, -1)
+                big3 = jnp.full_like(s3[:, :1], _big_for(s3.dtype))
                 prev_min = jnp.min(s3, axis=1, keepdims=True)
-                up = jnp.concatenate(
-                    [s3[:, :1] + p1c + one, s3[:, :-1] + p1c], axis=1
-                )
-                dn = jnp.concatenate(
-                    [s3[:, 1:] + p1c, s3[:, -1:] + p1c + one], axis=1
-                )
+                up = jnp.concatenate([big3, s3[:, :-1]], axis=1)
+                dn = jnp.concatenate([s3[:, 1:], big3], axis=1)
+                # BIG border sentinel + hoisted +p1 (see _recurrence_dw)
                 best = jnp.minimum(
-                    jnp.minimum(s3, prev_min + p2[None]), jnp.minimum(up, dn)
+                    jnp.minimum(s3, prev_min + p2[None]),
+                    jnp.minimum(up, dn) + p1c,
                 )
                 l3 = row[None] + (best - prev_min)
                 carry[:] = l3.reshape(3 * D, -1)
@@ -1100,13 +1107,15 @@ def _sweep_kernel_hdw_stacked(vol_ref, p2_ref, *rest, p1, rows,
                 axis=0,
             )
             p1c = _const(p1, shifted)
-            one = _const(1, shifted)
             s3 = shifted.reshape(3, D, -1)
+            big3 = jnp.full_like(s3[:, :1], _big_for(s3.dtype))
             prev_min = jnp.min(s3, axis=1, keepdims=True)  # (3, 1, N)
-            up = jnp.concatenate([s3[:, :1] + p1c + one, s3[:, :-1] + p1c], axis=1)
-            dn = jnp.concatenate([s3[:, 1:] + p1c, s3[:, -1:] + p1c + one], axis=1)
+            up = jnp.concatenate([big3, s3[:, :-1]], axis=1)
+            dn = jnp.concatenate([s3[:, 1:], big3], axis=1)
+            # BIG border sentinel + hoisted +p1 (see _recurrence_dw)
             best = jnp.minimum(
-                jnp.minimum(s3, prev_min + p2[None]), jnp.minimum(up, dn)
+                jnp.minimum(s3, prev_min + p2[None]),
+                jnp.minimum(up, dn) + p1c,
             )
             l3 = row[None] + (best - prev_min)  # (3, D, N)
             flat = l3.reshape(3 * D, -1)

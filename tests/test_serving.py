@@ -53,6 +53,37 @@ def test_stream_results_in_order_and_accurate(setup):
         assert r.decode_s >= 0.0
 
 
+def test_chunked_stream_matches_per_set_and_orders(setup):
+    """stream_depth_maps_chunked (K sets per jitted lax.map dispatch,
+    VERDICT r2 item 3): in-order results identical to the per-set path,
+    including a ragged final chunk (3 sets, chunk=2 -> one padded chunk
+    whose padding must be dropped)."""
+    from stereovisionarray_tpu.models import stream_depth_maps_chunked
+
+    cams, cfg, frames, _ = setup
+    per_set = list(stream_depth_maps(iter(frames), cams, cfg, ref_index=4))
+    chunked = list(
+        stream_depth_maps_chunked(iter(frames), cams, cfg, ref_index=4,
+                                  chunk=2)
+    )
+    assert [r.index for r in chunked] == [0, 1, 2]
+    assert len(chunked) == len(per_set)
+    for a, b in zip(per_set, chunked):
+        # the lax.map body and the standalone jit compile separately, so
+        # XLA may fma-contract the float chain differently; the iterative
+        # refine amplifies bit-level cost diffs into occasional half-step
+        # candidate flips — assert tight statistical agreement, and that
+        # each chunked result matches ITS OWN per-set frame (order check)
+        da = np.asarray(a.output.refined_depth)
+        db = np.asarray(b.output.refined_depth)
+        rel = np.abs(da - db) / np.maximum(np.abs(da), 1e-6)
+        assert np.median(rel) < 1e-3
+        assert (rel < 0.05).mean() > 0.99
+        va, vb = np.asarray(a.output.valid), np.asarray(b.output.valid)
+        assert (va == vb).mean() > 0.99
+        assert b.decode_s >= 0.0
+
+
 def test_frame_sets_from_dirs_round_trip(setup, tmp_path):
     cams, cfg, frames, _ = setup
     dirs = []
