@@ -1,7 +1,7 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Metric: end-to-end two-view SGM disparity throughput in megapixels/second
-(full pipeline per frame: census+BT int16 cost volume (H x W x 64), 8-path
+(full pipeline per frame: census+BT int8 cost volume (H x W x 64), 8-path
 Pallas SGM aggregation, fused WTA + subpixel + uniqueness + LR extraction)
 on the available accelerator (TPU chip under axon; CPU otherwise).
 
@@ -54,7 +54,9 @@ def _make_batch_fn(jax, jnp, batch_size):
     from stereovisionarray_tpu.config import CostConfig, SGMConfig
     from stereovisionarray_tpu.models.two_view import two_view_disparity
 
-    cost_cfg = CostConfig(num_disparities=D, census_window=(7, 9), dtype="int16")
+    # int8 raw cost volume: bit-parity-checked vs int16-upcast on device
+    # (scripts/check_tpu_parity.py); within-run A/B 2.072 vs 2.180 ms/frame
+    cost_cfg = CostConfig(num_disparities=D, census_window=(7, 9), dtype="int8")
     sgm_cfg = SGMConfig(p1=8.0, p2=96.0, num_paths=8, adaptive_p2=True)
 
     @jax.jit

@@ -135,6 +135,44 @@ def check_fused_extraction_bit_exact():
           "(540x768x64 int16, on-device)")
 
 
+def check_seeded_sweep_relay():
+    """The exact-tile-relay sweep variant (init_carry + emit_final,
+    parallel/two_view._relay_sweep_pallas) compiled ON DEVICE: splitting a
+    540-row volume into 4 seeded segments must reproduce the unsegmented
+    stacked sweep bit for bit, both directions. (The interpret-mode test
+    lives in tests/test_parallel.py; this catches Mosaic lowering issues
+    in the new has_init/emit_final kernel branches.)"""
+    from stereovisionarray_tpu.ops.sgm_pallas import _sweep_hdw_stacked
+
+    H, D, W = 540, 64, 768
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.integers(0, 280, (H, D, W)), jnp.int16)
+    p2 = jnp.full((H, W), 384, jnp.int16)
+    p1 = 32
+    splits = [0, 132, 264, 396, 540]  # multiples of the 12-row block
+
+    for reverse in (False, True):
+        full = _sweep_hdw_stacked(vol, p2, p1, reverse, False)
+        big = jnp.full((3 * D, W), 16000, jnp.int32)
+        order = range(len(splits) - 1)
+        if reverse:
+            order = reversed(list(order))
+        carry = big
+        parts = {}
+        for k in order:
+            a, b = splits[k], splits[k + 1]
+            rows, carry = _sweep_hdw_stacked(
+                vol[a:b], p2[a:b], p1, reverse, False,
+                init_carry=carry, emit_final=True,
+            )
+            parts[k] = rows
+        relay = jnp.concatenate([parts[k] for k in range(len(splits) - 1)],
+                                axis=0)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(relay))
+    print("PASS seeded sweep relay bit-identical to unsegmented stacked "
+          "sweep (540x768x64 int16, both directions, on-device)")
+
+
 def check_plane_sweep_kernel():
     from stereovisionarray_tpu.config import EngineConfig
     from stereovisionarray_tpu.datasets import (
@@ -265,6 +303,7 @@ def main():
     print(f"backend: {jax.default_backend()}")
     check_two_view()
     check_two_view_int8()
+    check_seeded_sweep_relay()
     check_fused_extraction_bit_exact()
     check_plane_sweep_kernel()
     check_plane_sweep_depth_end_to_end()

@@ -79,9 +79,17 @@ def main():
         "observations": int(out.num_obs),
         "tracks": int(np.asarray(out.point_valid).sum()),
         "mean_reproj_px": round(float(out.mean_reproj), 4),
+        "inlier_reproj_px": round(float(out.inlier_reproj), 4),
+        "inlier_threshold_px": float(out.inlier_threshold_px),
+        "outlier_fraction": round(float(out.outlier_fraction), 4),
+        "note": "mean_reproj_px averages over ALL match-time-valid "
+                "observations including the gross mismatches the tukey BA "
+                "zero-weights; inlier_reproj_px (err <= 3x kernel scale, "
+                "after the between-rounds re-triangulate+reject) is the "
+                "calibration quality of record (VERDICT r2 item 5)",
     }
     with open(os.path.join(os.path.dirname(__file__), "..",
-                           "EVAL_SFM_r02.json"), "w") as f:
+                           "EVAL_SFM_r03.json"), "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps(artifact))
 

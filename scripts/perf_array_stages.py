@@ -88,6 +88,17 @@ def main():
                                       cfg.plane_sweep, shift_pad=pad)
         return jnp.sum(v) + jnp.sum(nv)
 
+    from stereovisionarray_tpu.models.plane_sweep import translation_axis_flags
+
+    _flags = translation_axis_flags(cams, ref_index, src_indices)
+
+    @stage("sweep_volume_flagged")
+    def _volf(s):
+        v, nv, _ = plane_sweep_volume(images + s, cams, ref_index, src_indices,
+                                      cfg.plane_sweep, shift_pad=pad,
+                                      axis_flags=_flags)
+        return jnp.sum(v) + jnp.sum(nv)
+
     @stage("sgm_extract")
     def _sgm(s):
         agg = sgm_aggregate_pallas_hdw(
@@ -128,7 +139,9 @@ def main():
             return jnp.sum(lax.map(f, salts))
         return prog
 
-    selected = {args.stage: stages[args.stage]} if args.stage else stages
+    selected = (
+        {k: stages[k] for k in args.stage.split(",")} if args.stage else stages
+    )
     print(f"{'stage':20s} {'ms/call':>9s}  (slope K={K_SMALL}->{K_BIG}, median of {args.repeats})")
     for name, f in selected.items():
         ps, pb = run_k(f, K_SMALL), run_k(f, K_BIG)

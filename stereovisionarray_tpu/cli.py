@@ -276,6 +276,9 @@ def cmd_calibrate(args) -> int:
                metadata={"config": cfg.to_dict()})
     print(json.dumps({
         "mean_reproj_px": float(result.mean_reproj),
+        "inlier_reproj_px": float(result.inlier_reproj),
+        "inlier_threshold_px": float(result.inlier_threshold_px),
+        "outlier_fraction": float(result.outlier_fraction),
         "num_obs": int(result.num_obs),
         "output": args.output,
     }, sort_keys=True))

@@ -166,8 +166,6 @@ def array_depth_pipeline(
         else:
             mask = jnp.ones((h, w), dtype=bool)
 
-    from stereovisionarray_tpu.models.plane_sweep import translation_axis_flags
-
     sweep = plane_sweep_depth(
         images,
         cameras,
@@ -177,11 +175,14 @@ def array_depth_pipeline(
         cfg.sgm,
         mask=mask,
         shift_pad=_shift_warp_pad(cameras, ref_index, src_indices, cfg),
-        # host-side static flags (concrete cameras here): activate the sweep
-        # kernel's axis-aligned static-slice fast path for views that move
-        # along one axis only (ADVICE r2: inside plane_sweep_volume the
-        # cameras are traced, so the kernel can never derive these itself)
-        axis_flags=translation_axis_flags(cameras, ref_index, src_indices),
+        # axis_flags deliberately NOT passed (ADVICE r2 asked to activate
+        # the sweep kernel's static-slice branches here via host-side
+        # flags; plumbed + parity-checked on device, then MEASURED: the
+        # flagged kernel is 51% SLOWER than the dynamic one-hot path —
+        # sweep_volume slope 7.68 vs 5.09 ms within one run,
+        # scripts/perf_array_stages.py sweep_volume_flagged. The "free"
+        # static row window costs Mosaic a per-plane relayout of the
+        # resident bf16 operands that the always-matmul form never pays.)
     )
 
     # ---- multi-view photoconsistency refinement in disparity space ---- #

@@ -83,6 +83,14 @@ def two_view_disparity(
     throughput on a TPU chip at 540x768x64, numerically identical modulo
     float summation order (same bad-2.0 on golden scenes)."""
     dtype = jnp.dtype(cost_cfg.dtype)
+    if dtype == jnp.int8:
+        from stereovisionarray_tpu.ops.cost_volume import int8_cost_fits
+
+        if not int8_cost_fits(cost_cfg.census_window, cost_cfg.bt_weight,
+                              cost_cfg.bt_clip):
+            # large census windows overflow int8 at any useful scale —
+            # silently widen (same pipeline, scale 4)
+            dtype = jnp.dtype(jnp.int16)
     integer_costs = jnp.issubdtype(dtype, jnp.integer)
     compute_dtype = jnp.float32 if integer_costs else dtype
     left = left.astype(compute_dtype)

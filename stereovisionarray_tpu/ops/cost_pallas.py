@@ -32,7 +32,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stereovisionarray_tpu.ops.census import census_transform
-from stereovisionarray_tpu.ops.cost_volume import COST_SCALE, cost_scale_for
+from stereovisionarray_tpu.ops.cost_volume import (
+    COST_SCALE,
+    cost_scale_for,
+    int8_cost_fits,
+)
 
 __all__ = [
     "fused_cost_volume_pallas_hdw",
@@ -320,6 +324,10 @@ def fused_cost_volume_pallas_wdh(
     in_specs.extend(view_specs)
 
     odt = jnp.dtype(out_dtype)
+    if odt == jnp.int8 and not int8_cost_fits(census_window, bt_weight, bt_clip):
+        raise ValueError(
+            f"census window {census_window} + bt overflows int8; use int16"
+        )
     return pl.pallas_call(
         functools.partial(
             _wdh_kernel, rows=R, n_disp=D, n_planes=n_planes,
@@ -384,6 +392,10 @@ def fused_cost_volume_pallas_hdw(
     cr_planes = [cr[..., p] for p in range(n_planes)]
     operands = [*cl_planes, *cr_planes, left, l_mn, l_mx, right]
     odt = jnp.dtype(out_dtype)
+    if odt == jnp.int8 and not int8_cost_fits(census_window, bt_weight, bt_clip):
+        raise ValueError(
+            f"census window {census_window} + bt overflows int8; use int16"
+        )
     return pl.pallas_call(
         functools.partial(
             _cost_kernel, rows=rows, n_disp=num_disparities,

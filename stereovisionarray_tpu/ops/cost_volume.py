@@ -25,6 +25,16 @@ from stereovisionarray_tpu.ops.census import census_transform, hamming_distance
 COST_SCALE = 4
 
 
+def int8_cost_fits(census_window, bt_weight: float, bt_clip: float) -> bool:
+    """True when the worst-case cost (all census bits + clipped BT) fits
+    int8 at scale 1. The default 7x9 window gives 62 + 0.25*32 = 70; a
+    noise-robust 11x13 window gives 142 + 8 = 150 > 127 and must stay
+    int16 (callers fall back, models/two_view.py)."""
+    wh, ww = census_window
+    worst = (wh * ww - 1) + (bt_weight * bt_clip if bt_weight > 0.0 else 0.0)
+    return worst <= 127.0
+
+
 def cost_scale_for(dtype) -> int:
     """Fixed-point scale for an integer cost dtype.
 

@@ -1074,12 +1074,16 @@ def sgm_extract_fused_wdh(
 
 
 def _sweep_kernel_hdw_stacked(vol_ref, p2_ref, *rest, p1, rows,
-                              reverse, n_disp, accumulate):
-    if accumulate:
-        acc_ref, out_ref, carry = rest
+                              reverse, n_disp, accumulate, has_init=False,
+                              emit_final=False):
+    refs = list(rest)
+    init_ref = refs.pop(0) if has_init else None
+    acc_ref = refs.pop(0) if accumulate else None
+    final_ref = None
+    if emit_final:
+        out_ref, final_ref, carry = refs
     else:
-        acc_ref = None
-        out_ref, carry = rest
+        out_ref, carry = refs
     D = n_disp
     i = pl.program_id(0)
     compute_dtype = _compute_dtype(vol_ref.dtype)
@@ -1123,7 +1127,18 @@ def _sweep_kernel_hdw_stacked(vol_ref, p2_ref, *rest, p1, rows,
             total = l3.sum(axis=0)
             out_ref[r] = store(total if acc is None else acc + total)
 
-        if r == first_r:
+        if has_init:
+            # seeded sweep (exact tile relay): the incoming (3D, N) front
+            # replaces the fresh start — EVERY row, including the first,
+            # is a recurrence step. A BIG-filled incoming front reproduces
+            # fresh-start semantics exactly: the recurrence normalizes a
+            # uniform carry to cost + 0 (see parallel/two_view._relay_scan).
+            if r == first_r:
+                @pl.when(i == 0)
+                def _():
+                    carry[:] = init_ref[...].astype(carry.dtype)
+            step()
+        elif r == first_r:
             @pl.when(i == 0)
             def _(row=row, acc=acc):
                 carry[:] = jnp.concatenate([row, row, row], axis=0)
@@ -1136,9 +1151,18 @@ def _sweep_kernel_hdw_stacked(vol_ref, p2_ref, *rest, p1, rows,
         else:
             step()
 
+    if emit_final:
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            final_ref[...] = carry[:]
+
 
 def _sweep_hdw_stacked(vol, p2_map, p1, reverse: bool, interpret: bool,
-                       acc=None):
+                       acc=None, init_carry=None, emit_final=False):
+    """Stacked 3-path vertical sweep. init_carry: optional (3D, N) incoming
+    wavefront (compute dtype) that seeds the scan instead of the fresh
+    start — the exact-tile-relay hook (parallel/two_view.py). With
+    emit_final=True also returns the outgoing (3D, N) front."""
     s, d, n = vol.shape
     rows = _block_rows(s)
     nblocks = s // rows
@@ -1148,22 +1172,36 @@ def _sweep_hdw_stacked(vol, p2_map, p1, reverse: bool, interpret: bool,
         pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, 1, n), idx, memory_space=pltpu.VMEM),
     ]
+    cdt = _carry_dtype(vol.dtype)
+    if init_carry is not None:
+        operands.append(init_carry.astype(cdt))
+        in_specs.append(
+            pl.BlockSpec((3 * d, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
     aliases = {}
     if acc is not None:
         operands.append(acc)
         in_specs.append(pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM))
-        aliases = {2: 0}
+        aliases = {len(operands) - 1: 0}
     out_dtype = acc.dtype if acc is not None else _sum_dtype(vol.dtype)
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(vol.shape, out_dtype)
+    if emit_final:
+        out_specs = (out_specs, pl.BlockSpec((3 * d, n), lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((3 * d, n), cdt))
+    result = pl.pallas_call(
         functools.partial(
             _sweep_kernel_hdw_stacked, p1=float(p1), rows=rows, reverse=reverse,
             n_disp=d, accumulate=acc is not None,
+            has_init=init_carry is not None, emit_final=emit_final,
         ),
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(vol.shape, out_dtype),
-        scratch_shapes=[pltpu.VMEM((3 * d, n), _carry_dtype(vol.dtype))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((3 * d, n), cdt)],
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
+    return result

@@ -132,6 +132,46 @@ def _relay_scan(vol, p2_row, p1, diag_shift, reverse, n_tile):
     return jnp.flip(out, 0) if reverse else out
 
 
+def _relay_sweep_pallas(vol, p2_map, p1, reverse, n_tile, interpret):
+    """EXACT tile-sharded STACKED vertical sweep (Pallas backend twin of
+    :func:`_relay_scan`): round k seeds the 3-path-group sweep kernel with
+    shard k-1's outgoing (3D, W) front (``_sweep_hdw_stacked(init_carry=,
+    emit_final=True)``), relayed via ppermute. A BIG incoming front
+    reproduces fresh-start semantics exactly (the recurrence normalizes a
+    uniform carry to cost + 0), so round 0's first shard matches the
+    unsharded kernel bit for bit — verified in tests/test_parallel.py."""
+    from stereovisionarray_tpu.ops.sgm_pallas import (
+        _big_for,
+        _carry_dtype,
+        _sum_dtype,
+        _sweep_hdw_stacked,
+    )
+
+    s, d, n = vol.shape
+    my = lax.axis_index(AXIS_TILE)
+    pos = (n_tile - 1 - my) if reverse else my
+    if reverse:
+        src_dst = [(i, i - 1) for i in range(1, n_tile)]
+    else:
+        src_dst = [(i, i + 1) for i in range(n_tile - 1)]
+    cdt = _carry_dtype(vol.dtype)
+    big = jnp.full((3 * d, n), jnp.asarray(_big_for(cdt), cdt))
+
+    def body(k, state):
+        incoming, out = state
+        rows, final = _sweep_hdw_stacked(
+            vol, p2_map, p1, reverse, interpret,
+            init_carry=incoming, emit_final=True,
+        )
+        out = jnp.where(pos == k, rows, out)
+        nxt = lax.ppermute(final, AXIS_TILE, src_dst)
+        return nxt, out
+
+    out0 = jnp.zeros(vol.shape, _sum_dtype(vol.dtype))
+    _, out = lax.fori_loop(0, n_tile, body, (big, out0))
+    return out
+
+
 def _sgm_aggregate_exact(vol, p2_y, p2_x, p1, path_ids, n_tile):
     """Path-subset SGM aggregation on LOCAL rows (h_local, W, D) with exact
     cross-shard carries: vertical/diagonal paths relay their wavefront
@@ -194,10 +234,13 @@ def _two_view_program(
     use_pallas = resolved in ("pallas", "pallas_interpret")
     interpret = resolved == "pallas_interpret"
     exact_tiles = tile_mode == "exact" and n_tile > 1
-    if exact_tiles and use_pallas:
+    if exact_tiles and use_pallas and sgm_cfg.num_paths != 8:
+        # the Pallas relay seeds the STACKED (3-path-group) vertical sweep
+        # kernel; the 4-path variant keeps separate scratch carries the
+        # relay does not thread. The XLA backend relays any path set.
         raise ValueError(
-            "tile_mode='exact' is implemented for the xla backend (explicit "
-            "scan carries); use backend='xla' or tile_mode='halo'"
+            "tile_mode='exact' on the pallas backend supports num_paths=8 "
+            "only; use backend='xla' for 4-path exact tiling"
         )
     if exact_tiles and n_disp > 1:
         # path-parallel chunks contain UNEVEN numbers of vertical paths
@@ -211,7 +254,7 @@ def _two_view_program(
     dtype = jnp.dtype(cost_cfg.dtype)
     integer_costs = jnp.issubdtype(dtype, jnp.integer)
     if use_pallas:
-        from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
+        from stereovisionarray_tpu.ops.cost_volume import cost_scale_for
         from stereovisionarray_tpu.ops.extract_pallas import extract_disparity_hdw
         from stereovisionarray_tpu.ops.sgm_pallas import sgm_aggregate_pallas_sweeps
 
@@ -222,7 +265,7 @@ def _two_view_program(
                 f"other splits"
             )
         sweep_chunks = _SWEEP_CHUNKS[n_disp]
-        pen_scale = COST_SCALE if integer_costs else 1
+        pen_scale = cost_scale_for(dtype) if integer_costs else 1
     else:
         path_chunks = _split_paths(sgm_cfg.num_paths, n_disp)
         if integer_costs:
@@ -280,6 +323,77 @@ def _two_view_program(
             subpixel=sgm_cfg.subpixel,
             uniqueness=sgm_cfg.uniqueness,
             lr_max_diff=sgm_cfg.lr_max_diff,
+        )
+        return res.disparity, res.valid, res.cost
+
+    def _one_pair_pallas_exact(l_ext, r_ext, disp_idx) -> tuple:
+        """Exact tile sharding on the PRODUCTION int16/int8 Pallas kernels
+        (VERDICT r2 item 8): census-halo cost build, carry-relayed stacked
+        vertical sweeps (:func:`_relay_sweep_pallas`), complete-row
+        horizontal sweeps, one-pass extraction. Integer path sums
+        reassociate exactly, so the total — and the extracted maps — are
+        BIT-IDENTICAL to the single-chip ``sgm_aggregate_pallas_hdw`` +
+        ``extract_disparity_hdw`` at any tile count."""
+        from stereovisionarray_tpu.ops.sgm_pallas import (
+            _sum_dtype,
+            _sweep_hdw,
+            transpose_add_hdw,
+        )
+
+        pen = (lambda v: round(v * pen_scale)) if integer_costs else (lambda v: v)
+        vol = fused_cost_volume(
+            l_ext,
+            r_ext,
+            d_local,
+            census_window=cost_cfg.census_window,
+            bt_weight=cost_cfg.bt_weight,
+            bt_clip=cost_cfg.bt_clip,
+            dtype=dtype,
+            d_offset=0,  # n_disp == 1 enforced for exact mode
+            layout="hdw",
+        )
+        vol = crop_halo(vol, use_halo, axis=0)  # (h_local, D, W)
+        h_loc = vol.shape[0]
+
+        pdt = _sum_dtype(dtype)
+        if sgm_cfg.adaptive_p2:
+            # gradients of the halo-extended rows == global gradients on
+            # the kept rows (the same bit-exactness argument as the XLA
+            # exact mode's p2 maps)
+            p2_y = crop_halo(
+                _edge_p2(l_ext, 0, pen(sgm_cfg.p2), pen(sgm_cfg.p2_min), pdt),
+                use_halo, axis=0,
+            )
+            p2_x = crop_halo(
+                _edge_p2(l_ext, 1, pen(sgm_cfg.p2), pen(sgm_cfg.p2_min), pdt),
+                use_halo, axis=0,
+            )
+        else:
+            p2_y = jnp.full((h_loc, W), jnp.asarray(pen(sgm_cfg.p2), pdt))
+            p2_x = p2_y
+
+        p1 = pen(sgm_cfg.p1)
+        total = _relay_sweep_pallas(vol, p2_y, p1, False, n_tile, interpret)
+        total = total + _relay_sweep_pallas(vol, p2_y, p1, True, n_tile,
+                                            interpret)
+        # horizontal sweeps: rows are complete (W unsharded) — local kernels
+        vol_t = jnp.transpose(vol, (2, 1, 0))
+        p2_x_t = jnp.transpose(p2_x, (1, 0))
+        horiz = _sweep_hdw(vol_t, p2_x_t, p1, False, False, interpret)
+        horiz = _sweep_hdw(vol_t, p2_x_t, p1, True, False, interpret,
+                           acc=horiz)
+        total = transpose_add_hdw(total, horiz, interpret)
+
+        from stereovisionarray_tpu.ops.extract_pallas import (
+            extract_disparity_hdw as _extract,
+        )
+
+        res = _extract(
+            total,
+            subpixel=sgm_cfg.subpixel,
+            uniqueness=sgm_cfg.uniqueness if sgm_cfg.uniqueness > 0 else 0.0,
+            lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
+            interpret=interpret,
         )
         return res.disparity, res.valid, res.cost
 
@@ -394,7 +508,9 @@ def _two_view_program(
         )
         return res.disparity, res.valid, res.cost
 
-    if exact_tiles:
+    if exact_tiles and use_pallas:
+        one_pair = _one_pair_pallas_exact
+    elif exact_tiles:
         one_pair = _one_pair_exact
     elif use_pallas:
         one_pair = _one_pair_pallas

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stereovisionarray_tpu.roi import (
     convex_polygon_mask,
@@ -278,3 +279,101 @@ def test_mask_ungated_when_nothing_found():
         ellipse_mask(img.shape, roi.center, roi.axes, roi.angle) | ~roi.found
     )
     assert m2.all()
+
+
+def _render_head_affine(h=180, w=240, cu=130.0, cv=80.0, fw=60.0,
+                        aspect=56.0 / 44.0, tilt=0.0, rng=None):
+    """_render_head generalized with anisotropic aspect + in-plane tilt —
+    the geometries the canonical-layout mask mislocates on."""
+    vv, uu = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.full((h, w), 225.0, np.float32) + 20.0 * (uu / w)
+    fh = fw * aspect
+    cx, cy = cu, cv + 0.02 * fh
+    ur = (uu - cx) * np.cos(tilt) + (vv - cy) * np.sin(tilt) + cx
+    vr = -(uu - cx) * np.sin(tilt) + (vv - cy) * np.cos(tilt) + cy
+    un = (ur - (cu - fw / 2)) / fw
+    vn = (vr - (cv - fh / 2)) / fh
+    oval = ((un - 0.5) / 0.48) ** 2 + ((vn - 0.52) / 0.52) ** 2 <= 1.0
+    img[oval] = 140.0
+
+    def blob(bu, bv, su, sv):
+        return np.exp(-0.5 * (((un - bu) / su) ** 2 + ((vn - bv) / sv) ** 2))
+
+    img -= 70.0 * blob(0.30, 0.35, 0.10, 0.05)
+    img -= 70.0 * blob(0.70, 0.35, 0.10, 0.05)
+    img -= 40.0 * blob(0.26, 0.24, 0.12, 0.03)
+    img -= 40.0 * blob(0.74, 0.24, 0.12, 0.03)
+    img -= 55.0 * blob(0.50, 0.78, 0.15, 0.05)
+    if rng is not None:
+        img += rng.normal(0, 3.0, img.shape).astype(np.float32)
+    return img, oval
+
+
+class TestFittedLandmarks:
+    """fit_landmarks (VERDICT r2 item 4): landmarks FITTED to the image —
+    part-template NCC -> affine layout update -> jaw edge snap — replacing
+    the canonical-box scaling (dlib shape_predictor parity,
+    /root/reference/src/dlibFaceSelect.cpp:25,29-36)."""
+
+    def _iou(self, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return (a & b).sum() / max((a | b).sum(), 1)
+
+    @pytest.mark.parametrize(
+        "case,min_gain",
+        [
+            (dict(aspect=1.65), 0.05),            # narrow face
+            (dict(aspect=1.05), 0.15),            # wide face
+            (dict(tilt=0.18), 0.08),              # tilted face
+            (dict(aspect=1.6, tilt=-0.15), 0.08), # narrow + tilted
+        ],
+    )
+    def test_fit_beats_canonical_mask(self, rng, case, min_gain):
+        """On off-template geometries the fitted-landmark mask must beat
+        the canonical-box mask's IoU against the rendered head by a stated
+        margin (measured gains 0.10-0.26; thresholds leave noise room)."""
+        from stereovisionarray_tpu.roi.face import detect_face, fit_landmarks
+        from stereovisionarray_tpu.roi.mask import face_mask_from_landmarks
+
+        img, oval = _render_head_affine(rng=rng, **case)
+        det = detect_face(jnp.asarray(img))
+        assert bool(det.found)
+        lm_fit = fit_landmarks(jnp.asarray(img), det)
+        iou_canon = self._iou(
+            face_mask_from_landmarks(img.shape, det.landmarks), oval
+        )
+        iou_fit = self._iou(face_mask_from_landmarks(img.shape, lm_fit), oval)
+        assert iou_fit >= iou_canon + min_gain, (iou_canon, iou_fit, case)
+
+    def test_fit_is_jittable_and_stable_on_canonical(self, rng):
+        """jit(fit_landmarks) compiles (the pipeline gates under jit), and
+        on an on-template face the fit stays close to the canonical layout
+        (no spurious large deformation) while not degrading the mask."""
+        import jax
+
+        from stereovisionarray_tpu.roi.face import detect_face, fit_landmarks
+        from stereovisionarray_tpu.roi.mask import face_mask_from_landmarks
+
+        img, oval = _render_head_affine(rng=rng)
+        det = detect_face(jnp.asarray(img))
+        lm_jit = jax.jit(fit_landmarks)(jnp.asarray(img), det)
+        lm_eager = fit_landmarks(jnp.asarray(img), det)
+        np.testing.assert_allclose(np.asarray(lm_jit), np.asarray(lm_eager),
+                                   atol=1e-3)
+        iou_canon = self._iou(
+            face_mask_from_landmarks(img.shape, det.landmarks), oval
+        )
+        iou_fit = self._iou(face_mask_from_landmarks(img.shape, lm_jit), oval)
+        assert iou_fit >= iou_canon - 0.02
+
+    def test_fit_falls_back_when_not_found(self, rng):
+        """No face -> fit returns det.landmarks unchanged (the mask layer
+        then falls back to the Otsu ellipse as before)."""
+        from stereovisionarray_tpu.roi.face import detect_face, fit_landmarks
+
+        img = rng.normal(128.0, 3.0, (180, 240)).astype(np.float32)
+        det = detect_face(jnp.asarray(img))
+        lm = fit_landmarks(jnp.asarray(img), det)
+        if not bool(det.found):
+            np.testing.assert_array_equal(np.asarray(lm),
+                                          np.asarray(det.landmarks))
