@@ -164,6 +164,8 @@ def detect_face(
     num_scales: int = 6,
     scale_step: float = 0.8,
     threshold: float = 0.30,
+    verify_parts: bool = True,
+    min_part_score: float = 0.55,
 ) -> FaceDetection:
     """Multi-scale NCC face detection on an (H, W) grayscale image.
 
@@ -201,11 +203,21 @@ def detect_face(
     landmarks = jnp.stack(
         [best_u0 + lm[:, 0] * best_bw, best_v0 + lm[:, 1] * best_bh], axis=-1
     )
+    found = best_score >= threshold
+    if verify_parts:
+        # second-stage verification: the whole-face template also peaks on
+        # featureless face-SHAPED content (a blank disc scored 0.43 whole-
+        # face, 0.35 parts — the boundary arc leaks into the part windows
+        # too), but a face must carry eye/brow/mouth EVIDENCE: rendered
+        # heads hold part NCC >= 0.77 even at the harshest EVAL_ROBUST
+        # severity (gain/bias + noise + defocus), so 0.55 splits cleanly
+        _, part_score = _fit_canonical(_canonical_patch(img, box))
+        found = found & (part_score >= min_part_score)
     return FaceDetection(
         box=box,
         landmarks=landmarks,
         score=best_score,
-        found=best_score >= threshold,
+        found=found,
     )
 
 
@@ -305,6 +317,27 @@ def _bilinear_points(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     ) * fv
 
 
+def _canonical_patch(img: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Resample the detected box into the fixed canonical patch: the box
+    occupies the central (2*_TH, 2*_TW) region at offset (_BY, _BX) with a
+    _MARGIN-box border all around (the face's OUTER edge — chin/ears —
+    regularly sits just outside the NCC box and the jaw snap needs it in
+    view). scale_and_translate places input pixel k at output
+    scale*k + translation + 0.5*scale - 0.5, hence the pixel-center
+    correction (verified exact against a ramp image)."""
+    u0, v0, bw, bh = box[0], box[1], box[2], box[3]
+    sy = (2 * _TH) / bh
+    sx = (2 * _TW) / bw
+    ty = _BY - v0 * sy  # patch row of image row 0
+    tx = _BX - u0 * sx
+    return jax.image.scale_and_translate(
+        img, (_CH, _CW), (0, 1),
+        scale=jnp.stack([sy, sx]),
+        translation=jnp.stack([ty + 0.5 - 0.5 * sy, tx + 0.5 - 0.5 * sx]),
+        method="linear",
+    )
+
+
 @jax.jit
 def _fit_canonical(patch: jnp.ndarray):
     """Fit an affine layout update on the canonical patch. Returns
@@ -366,23 +399,9 @@ def fit_landmarks(
     below ``min_part_score`` keeps det.landmarks unchanged."""
     img = jnp.asarray(image, jnp.float32)
     u0, v0, bw, bh = det.box[0], det.box[1], det.box[2], det.box[3]
-
-    # canonical patch: the box resampled to (2*_TH, 2*_TW) at offset
-    # (_BY, _BX), with a _MARGIN-box border so the face's OUTER edge is in
-    # view for the jaw snap (the NCC box regularly sits just inside the
-    # chin/ears). scale_and_translate places input pixel k at output
-    # scale*k + translation + 0.5*scale - 0.5, hence the pixel-center
-    # correction (verified exact against a ramp image).
     sy = (2 * _TH) / bh  # canonical px per image px
     sx = (2 * _TW) / bw
-    ty = _BY - v0 * sy  # patch row of image row 0
-    tx = _BX - u0 * sx
-    patch = jax.image.scale_and_translate(
-        img, (_CH, _CW), (0, 1),
-        scale=jnp.stack([sy, sx]),
-        translation=jnp.stack([ty + 0.5 - 0.5 * sy, tx + 0.5 - 0.5 * sx]),
-        method="linear",
-    )
+    patch = _canonical_patch(img, det.box)
     A, part_score = _fit_canonical(patch)
 
     lm = jnp.asarray(canonical_landmarks())  # (68, 2) normalized box coords
