@@ -442,7 +442,15 @@ def plane_sweep_depth(
         )
         if quantize:
             pen = lambda v: round(v * scale)
-            vol_hdw = jnp.round(vol_hdw * scale).astype(jnp.int16)
+            # int8 when the scaled ceiling fits: the raw volume read by
+            # every sweep halves again (the kernels load i8, compute i32,
+            # sum in int16 — BIT-IDENTICAL to storing the same values in
+            # int16, tested in test_sgm_pallas/test_parallel and on device
+            # by check_tpu_parity). Census at patch 5 is 24 * 4 = 96 <= 127.
+            vol_dtype = (
+                jnp.int8 if round(ceiling * scale) <= 127 else jnp.int16
+            )
+            vol_hdw = jnp.round(vol_hdw * scale).astype(vol_dtype)
         else:
             scale = 1
             pen = lambda v: v

@@ -144,7 +144,11 @@ def two_view_disparity(
                     left, right, cost_cfg.num_disparities, block_rows=br,
                     **ckw,
                 )
-                vol = jnp.transpose(vol_t, (2, 1, 0))
+                from stereovisionarray_tpu.ops.sgm_pallas import (
+                    transpose_hdw as _transpose_hdw,
+                )
+
+                vol = _transpose_hdw(vol_t, interpret)
             else:  # odd width: barrel builder + internal transpose fallback
                 vol = fused_cost_volume_pallas_hdw(
                     left, right, cost_cfg.num_disparities, **ckw

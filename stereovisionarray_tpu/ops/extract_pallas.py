@@ -173,6 +173,12 @@ def extract_row_maps(a16, D, subpixel, uniqueness, lr_max_diff):
     by the standalone extraction kernel below and the fused
     final-sweep-plus-extraction kernel in ``ops/sgm_pallas.py`` (which has
     the slab in registers and skips the extra volume write + read)."""
+    if a16.dtype == jnp.int8:
+        # int8 volumes (raw-WTA mode over an int8 cost volume): the barrel
+        # below runs on the narrow dtype, and Mosaic legalizes no i8
+        # arithmetic beyond load/store — widen to int16 first (same barrel
+        # cost class, still half of i32)
+        a16 = a16.astype(jnp.int16)
     compute_dtype = jnp.int32 if a16.dtype == jnp.int16 else a16.dtype
     a = a16.astype(compute_dtype)  # reductions need >= i32 (Mosaic)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)

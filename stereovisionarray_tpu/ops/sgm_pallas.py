@@ -266,7 +266,14 @@ def _carry_dtype(dtype):
     return _compute_dtype(dtype)
 
 
-def _block_rows(s: int, target: int = 12) -> int:
+# sweep grid block size target: 12 beat 8 on the stacked sweep (0.353 ->
+# 0.292 ms; 540 and 768 both divide by 12) and 16/24/32 measured worse at
+# round 2 (scripts/probe_block_rows.py). Module-level so probes can A/B.
+_BLOCK_TARGET = 12
+
+
+def _block_rows(s: int, target: int = None) -> int:
+    target = _BLOCK_TARGET if target is None else target
     for r in range(min(target, s), 0, -1):
         if s % r == 0:
             return r
