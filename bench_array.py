@@ -46,6 +46,11 @@ def _make(jax, jnp, batch):
         "camera.cols": COLS,
         "plane_sweep.num_planes": PLANES,
         "plane_sweep.topology": "CROSS",
+        # sources_8bit (single-arm exact warp for decoded 8-bit frames)
+        # measures NEUTRAL here — the kernel is VPU-bound in the hamming
+        # and Mosaic already hides the MXU warp under it (within-run A/B
+        # 5.08 vs 4.94 ms, scripts/perf_array_stages.py sweep_volume_8bit)
+        # — so the bench keeps the r2-comparable default path
     })
 
     stack = np.stack([images] * batch)  # (B, N, H, W)

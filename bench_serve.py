@@ -57,6 +57,10 @@ def main():
         "camera.cols": COLS,
         "plane_sweep.num_planes": PLANES,
         "plane_sweep.topology": "CROSS",
+        # sources are decoded 8-bit PNGs: the single-arm warp is EXACT here
+        # (and halves the kernel's VMEM source residency); throughput is
+        # VPU-bound either way
+        "plane_sweep.sources_8bit": True,
     })
 
     with tempfile.TemporaryDirectory(prefix="svt_serve_") as root:

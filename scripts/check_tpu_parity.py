@@ -218,13 +218,21 @@ def check_plane_sweep_kernel():
         translation_axis_flags,
     )
 
+    import dataclasses
+
     flags = translation_axis_flags(cams, ref_index, src_indices)
     assert any(f in ("x", "y") for f in flags), flags
-    for label, af in (("dynamic", (None,) * len(src_indices)),
-                      ("axis-flagged " + "".join(f or "-" for f in flags),
-                       flags)):
+    ps8 = dataclasses.replace(cfg.plane_sweep, sources_8bit=True)
+    for label, af, psc in (
+        ("dynamic", (None,) * len(src_indices), cfg.plane_sweep),
+        ("axis-flagged " + "".join(f or "-" for f in flags), flags,
+         cfg.plane_sweep),
+        # single-matmul-arm warp (decoded-8-bit sources): exact on the
+        # rounded fixture, so the same bit-exact bar applies
+        ("sources_8bit", (None,) * len(src_indices), ps8),
+    ):
         vol_p, nv_p, _ = plane_sweep_volume(
-            images, cams, ref_index, src_indices, cfg.plane_sweep,
+            images, cams, ref_index, src_indices, psc,
             shift_pad=pad, backend="pallas", axis_flags=af,
         )
         np.testing.assert_array_equal(np.asarray(nv_p), np.asarray(nv_x))

@@ -92,6 +92,16 @@ def main():
 
     _flags = translation_axis_flags(cams, ref_index, src_indices)
 
+    import dataclasses as _dc
+
+    _ps8 = _dc.replace(cfg.plane_sweep, sources_8bit=True)
+
+    @stage("sweep_volume_8bit")
+    def _vol8(s):
+        v, nv, _ = plane_sweep_volume(images + s, cams, ref_index, src_indices,
+                                      _ps8, shift_pad=pad)
+        return jnp.sum(v) + jnp.sum(nv)
+
     @stage("sweep_volume_flagged")
     def _volf(s):
         v, nv, _ = plane_sweep_volume(images + s, cams, ref_index, src_indices,

@@ -78,6 +78,11 @@ class PlaneSweepConfig:
     z_near: float = 0.55
     z_far: float = 1.1
     topology: str = "to_center"  # PairTopology value
+    # caller asserts integer-valued [0, 255] sources (decoded 8-bit
+    # frames): the Pallas sweep's bf16 warp is then EXACT with a single
+    # matmul arm — half its MXU work. False (default) keeps the hi/lo
+    # split, exact for any <= 16-significant-bit data.
+    sources_8bit: bool = False
     fusion: str = "topk_mean"  # 'mean' | 'topk_mean' | 'min'
     topk: int = 6
     cost: str = "census"  # 'census' | 'sad' | 'zncc'

@@ -318,6 +318,7 @@ def plane_sweep_volume(
             valid_mean=cfg.fusion == "mean",
             interpret=resolved == "pallas_interpret",
             axis_flags=axis_flags,
+            sources_8bit=cfg.sources_8bit,
         )
         vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)
         nv = jnp.moveaxis(nviews, 0, -1)

@@ -56,9 +56,16 @@ def _dot(a, b):
     )
 
 
-def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, sgn_ref, base_ref,
-                  fused_ref, nv_ref, *, n_views, h, w, margin, patch,
-                  pad_total, n_bits, valid_mean, axis_flags):
+def _sweep_kernel(sc_ref, f_ref, *rest, n_views, h, w, margin, patch,
+                  pad_total, n_bits, valid_mean, axis_flags, use_lo):
+    if use_lo:
+        hi_ref, lo_ref, sgn_ref, base_ref, fused_ref, nv_ref = rest
+    else:
+        # 8-bit sources: integers <= 255 are bf16-EXACT, so the lo residual
+        # plane is identically zero — its operand, VMEM residency, and every
+        # lo matmul arm are dropped (half the kernel's MXU work)
+        hi_ref, sgn_ref, base_ref, fused_ref, nv_ref = rest
+        lo_ref = None
     d = pl.program_id(0)
     M = margin
     hp = hi_ref.shape[1]
@@ -98,14 +105,16 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, sgn_ref, base_ref,
             cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
             cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
             sx = (cp == x0 + cc).astype(jnp.bfloat16)
-            b = _dot(hi_ref[s, Y0 : Y0 + hm, :], sx) + _dot(
-                lo_ref[s, Y0 : Y0 + hm, :], sx
-            )  # (hm, wm) f32
+            b = _dot(hi_ref[s, Y0 : Y0 + hm, :], sx)  # (hm, wm) f32
+            if use_lo:
+                b = b + _dot(lo_ref[s, Y0 : Y0 + hm, :], sx)
         else:
             rp = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 1)
             rr = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 0)
             sy = (rp == y0 + rr).astype(jnp.bfloat16)
-            a = _dot(sy, hi_ref[s]) + _dot(sy, lo_ref[s])  # (hm, wp) f32
+            a = _dot(sy, hi_ref[s])  # (hm, wp) f32
+            if use_lo:
+                a = a + _dot(sy, lo_ref[s])
             if flag == "y":  # su == 0 everywhere -> static column window
                 # exact (no re-split residual): a[:, X0:X0+wm] IS the window
                 X0 = pad_total - M
@@ -115,8 +124,13 @@ def _sweep_kernel(sc_ref, f_ref, hi_ref, lo_ref, sgn_ref, base_ref,
                 cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
                 sx = (cp == x0 + cc).astype(jnp.bfloat16)
                 a_hi = a.astype(jnp.bfloat16)
-                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                b = _dot(a_hi, sx) + _dot(a_lo, sx)  # (hm, wm) f32
+                if use_lo:
+                    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    b = _dot(a_hi, sx) + _dot(a_lo, sx)  # (hm, wm) f32
+                else:
+                    # a is a one-hot selection of 8-bit-exact values: the
+                    # bf16 round-trip is exact, no residual arm needed
+                    b = _dot(a_hi, sx)
 
         # bilinear lerp, same op order as _shift_warp (bit-compat interior).
         # A statically-zero fractional component drops its lerp arm: with
@@ -226,6 +240,7 @@ def plane_sweep_census_pallas(
     valid_mean: bool = False,
     interpret: bool = False,
     axis_flags: Optional[Tuple[Optional[str], ...]] = None,
+    sources_8bit: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused census plane sweep over uniform per-(plane, view) shifts.
 
@@ -248,18 +263,20 @@ def plane_sweep_census_pallas(
     return _census_sweep_impl(
         ref, src_images, shifts, patch=patch, shift_pad=shift_pad,
         valid_mean=valid_mean, interpret=interpret, axis_flags=flags,
+        sources_8bit=bool(sources_8bit),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "patch", "shift_pad", "valid_mean", "interpret", "axis_flags"
+        "patch", "shift_pad", "valid_mean", "interpret", "axis_flags",
+        "sources_8bit",
     ),
 )
 def _census_sweep_impl(
     ref, src_images, shifts, *, patch, shift_pad, valid_mean, interpret,
-    axis_flags,
+    axis_flags, sources_8bit=False,
 ):
     from stereovisionarray_tpu.ops.census import census_transform
 
@@ -273,7 +290,13 @@ def _census_sweep_impl(
         src_images.astype(jnp.float32), ((0, 0), (P, P), (P, P))
     )
     hi = padded.astype(jnp.bfloat16)
-    lo = (padded - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # sources_8bit: the caller asserts integer-valued [0, 255] sources
+    # (decoded uint8 frames) — then hi is EXACT and the lo residual plane
+    # is identically zero; skip it (operand + half the warp matmuls)
+    lo = (
+        None if sources_8bit
+        else (padded - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    )
 
     # integer/fractional split — float math identical to _shift_warp's
     su = shifts[..., 0].astype(jnp.float32)  # (D, S)
@@ -313,18 +336,19 @@ def _census_sweep_impl(
     )
     (fspec, fshape), (nspec, nshape) = out_spec(jnp.float32), out_spec(jnp.int32)
 
+    operands = [sc, fr, hi] + ([] if lo is None else [lo]) + [sgn, base]
+    img_specs = [resident3((s_views, hp, wp))] * (1 if lo is None else 2)
     fused, nv = pl.pallas_call(
         functools.partial(
             _sweep_kernel, n_views=s_views, h=h, w=w, margin=M, patch=patch,
             pad_total=P, n_bits=n_bits, valid_mean=bool(valid_mean),
-            axis_flags=axis_flags,
+            axis_flags=axis_flags, use_lo=lo is not None,
         ),
         grid=(d_planes,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            resident3((s_views, hp, wp)),
-            resident3((s_views, hp, wp)),
+            *img_specs,
             resident3((n_bits, h, w)),
             resident3((h, w)),
         ],
@@ -337,5 +361,5 @@ def _census_sweep_impl(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sc, fr, hi, lo, sgn, base)
+    )(*operands)
     return fused, nv

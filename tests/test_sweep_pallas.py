@@ -175,3 +175,24 @@ def test_gate_falls_back_for_ungated_configs():
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+
+
+def test_sources_8bit_path_bit_identical_on_integer_images():
+    """sources_8bit=True drops the warp's lo residual matmul arm — for
+    integer-valued [0, 255] sources (bf16-exact), the output must be
+    BIT-IDENTICAL to the hi/lo path (half the kernel's MXU work for
+    decoded 8-bit frames; bench_array/serving set the flag)."""
+    import dataclasses
+
+    cams, images, ps, ref_index, src_indices, pad = _setup()
+    v0, n0, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, ps, shift_pad=pad,
+        backend="pallas_interpret",
+    )
+    ps8 = dataclasses.replace(ps, sources_8bit=True)
+    v8, n8, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, ps8, shift_pad=pad,
+        backend="pallas_interpret",
+    )
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v8))
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n8))
