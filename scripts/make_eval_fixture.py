@@ -17,7 +17,7 @@ stereo pair with EXACT analytic ground truth:
     real-data ingest path is exercised byte-for-byte.
 
 Running this script regenerates data/eval_scene/ deterministically and
-writes EVAL_r02.json with bad-2.0 / EPE / density (the reference's golden
+writes EVAL_r03.json with bad-2.0 / EPE / density (the reference's golden
 pattern, /root/reference/src/functions.cpp:323-329,348-354).
 
 Usage: python scripts/make_eval_fixture.py [--platform cpu|tpu]
@@ -163,7 +163,7 @@ def evaluate():
         "epe": float(end_point_error(pred, gt, mask=eval_mask)),
         "baseline_bound": "BASELINE.json: bad-2.0 within reference-matching bound",
     }
-    with open(os.path.join(REPO, "EVAL_r02.json"), "w") as f:
+    with open(os.path.join(REPO, "EVAL_r03.json"), "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(json.dumps(report, sort_keys=True))
 

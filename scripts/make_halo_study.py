@@ -36,7 +36,7 @@ N_TILE = 4  # 540 rows shard into 4 tiles of 135 (8 does not divide 540)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="HALO_STUDY_r02.json")
+    ap.add_argument("--out", default="HALO_STUDY_r03.json")
     ap.add_argument("--halos", type=int, nargs="*", default=[8, 16, 32, 64])
     args = ap.parse_args()
 
@@ -89,6 +89,28 @@ def main():
     )
     results["exact_relay"] = compare(out)
     print(f"exact: {results['exact_relay']}")
+
+    # exact relay on the PRODUCTION integer Pallas kernels (r3): the seeded
+    # stacked sweeps must be bit-identical to the SINGLE-CHIP Pallas
+    # pipeline (its own oracle — the int16 path quantizes, so the float-XLA
+    # oracle above is the wrong yardstick here)
+    from stereovisionarray_tpu.config import CostConfig as _CC
+
+    cc16 = _CC(num_disparities=D, census_window=(7, 9), dtype="int16")
+    ref_p = two_view_disparity(left, right, cc16, sgm_cfg,
+                               backend="pallas_interpret")
+    out_p = sharded_two_view_disparity(
+        lb, rb, mesh, cc16, sgm_cfg, backend="pallas_interpret",
+        tile_mode="exact",
+    )
+    dp, vp = np.asarray(out_p.disparity)[0], np.asarray(out_p.valid)[0]
+    results["exact_relay_pallas_int16"] = {
+        "bit_identical_vs_single_chip_pallas": bool(
+            (dp == np.asarray(ref_p.disparity)).all()
+            and (vp == np.asarray(ref_p.valid)).all()
+        ),
+    }
+    print(f"exact pallas: {results['exact_relay_pallas_int16']}")
 
     payload = {
         "shape": [H, W, D],
