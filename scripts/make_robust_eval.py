@@ -87,7 +87,8 @@ def perturb_views(views: np.ndarray, level: int, rng: np.random.Generator
     return np.asarray(out, np.float32)
 
 
-def two_view_metrics(level: int, rng, cost_overrides=None) -> dict:
+def two_view_metrics(level: int, rng, cost_overrides=None,
+                     sgm_overrides=None) -> dict:
     from stereovisionarray_tpu.config import CostConfig, SGMConfig
     from stereovisionarray_tpu.datasets.middlebury import load_middlebury_pair
     from stereovisionarray_tpu.evaluation import bad_pixel_ratio
@@ -101,8 +102,11 @@ def two_view_metrics(level: int, rng, cost_overrides=None) -> dict:
     if cost_overrides:
         ckw.update(cost_overrides)
     cost_cfg = CostConfig(**ckw)
-    sgm_cfg = SGMConfig(p1=8.0, p2=96.0, num_paths=8, adaptive_p2=True,
-                        uniqueness=0.95, lr_max_diff=1.5)
+    skw = dict(p1=8.0, p2=96.0, num_paths=8, adaptive_p2=True,
+               uniqueness=0.95, lr_max_diff=1.5)
+    if sgm_overrides:
+        skw.update(sgm_overrides)
+    sgm_cfg = SGMConfig(**skw)
     out = two_view_disparity(jnp.asarray(views[0]), jnp.asarray(views[1]),
                              cost_cfg, sgm_cfg)
     gt = jnp.asarray(pair.gt_disparity)
@@ -195,6 +199,15 @@ def main():
             "two_view_census_11x13": two_view_metrics(
                 L, np.random.default_rng(100 + L),
                 cost_overrides={"census_window": (11, 13)},
+            ),
+            # the full recovery: config.noise_robust_preset() (wide census
+            # + doubled P1/P2 + relaxed uniqueness/LR) - severity-3 bad-2.0
+            # 0.63 -> 0.29 at 2x the density, clean cost 0.73% -> 1.2%
+            "two_view_noise_preset": two_view_metrics(
+                L, np.random.default_rng(100 + L),
+                cost_overrides={"census_window": (11, 13)},
+                sgm_overrides={"p1": 16.0, "p2": 288.0, "p2_min": 72.0,
+                               "uniqueness": 0.97, "lr_max_diff": 2.5},
             ),
             "array": array_metrics(L, np.random.default_rng(200 + L)),
             "face": face_metrics(L, np.random.default_rng(300 + L)),

@@ -70,6 +70,27 @@ class SGMConfig:
     speckle_min_support: int = 12
 
 
+def noise_robust_preset():
+    """(CostConfig, SGMConfig) tuned for NOISY/defocused 8-bit captures,
+    the reference's real-photo operating regime
+    (``/root/reference/src/CameraStereoVision.cpp:14-19``), where the
+    clean-data defaults collapse (EVAL_ROBUST_r03: bad-2.0 63% at severity
+    3). A wider census window averages ordering evidence over more pixels,
+    doubled P1/P2 smooths over noise-flipped bits, and relaxed
+    uniqueness/LR gates stop rejecting pixels whose evidence is merely
+    noisy. Measured on the perturbed golden fixture (severity 3: per-view
+    gain/bias + read/shot noise + defocus): bad-2.0 63% -> 29% at 2x the
+    density; clean-data cost is 0.73% -> 1.2% bad-2.0. Raising bt_weight
+    instead HURTS under per-view gain/bias (BT compares raw intensities;
+    census ordering ignores them). int8 volumes auto-widen to int16 for
+    this window (142 census bits overflow int8)."""
+    return (
+        CostConfig(census_window=(11, 13)),
+        SGMConfig(p1=16.0, p2=288.0, p2_min=72.0, adaptive_p2=True,
+                  uniqueness=0.97, lr_max_diff=2.5),
+    )
+
+
 @dataclass(frozen=True)
 class PlaneSweepConfig:
     """N-view plane-sweep fusion over the camera array."""

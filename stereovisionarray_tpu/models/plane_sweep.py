@@ -113,13 +113,16 @@ def translation_axis_flags(cameras, ref_index, src_indices):
     'y' symmetrically, None = general motion."""
     import numpy as np
 
+    if isinstance(cameras.t, jax.core.Tracer):
+        return None  # traced cameras -> no static flags
     try:
         t = np.asarray(cameras.t)
         n = t.shape[0]
         cx = np.broadcast_to(np.asarray(cameras.cx), (n,))
         cy = np.broadcast_to(np.asarray(cameras.cy), (n,))
-    except Exception:
-        return None  # traced cameras -> no static flags
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return None
     flags = []
     for s in [int(i) for i in np.atleast_1d(np.asarray(src_indices))]:
         if t[s, 1] == t[ref_index, 1] and cy[s] == cy[ref_index]:

@@ -328,13 +328,18 @@ class TestFittedLandmarks:
             (dict(aspect=1.6, tilt=-0.15), 0.08), # narrow + tilted
         ],
     )
-    def test_fit_beats_canonical_mask(self, rng, case, min_gain):
+    def test_fit_beats_canonical_mask(self, case, min_gain):
         """On off-template geometries the fitted-landmark mask must beat
         the canonical-box mask's IoU against the rendered head by a stated
-        margin (measured gains 0.10-0.26; thresholds leave noise room)."""
+        margin (measured gains 0.10-0.26; thresholds leave noise room).
+        Own seeded rng: the session-scoped `rng` fixture is stateful, and
+        margin assertions must not depend on suite execution order."""
         from stereovisionarray_tpu.roi.face import detect_face, fit_landmarks
         from stereovisionarray_tpu.roi.mask import face_mask_from_landmarks
 
+        # stable per-case seed (hash() is process-salted, not reproducible)
+        seed = sum(int(1000 * v) for v in case.values()) + 13
+        rng = np.random.default_rng(seed)
         img, oval = _render_head_affine(rng=rng, **case)
         det = detect_face(jnp.asarray(img))
         assert bool(det.found)
@@ -345,7 +350,8 @@ class TestFittedLandmarks:
         iou_fit = self._iou(face_mask_from_landmarks(img.shape, lm_fit), oval)
         assert iou_fit >= iou_canon + min_gain, (iou_canon, iou_fit, case)
 
-    def test_fit_is_jittable_and_stable_on_canonical(self, rng):
+    def test_fit_is_jittable_and_stable_on_canonical(self):
+        rng = np.random.default_rng(7)
         """jit(fit_landmarks) compiles (the pipeline gates under jit), and
         on an on-template face the fit stays close to the canonical layout
         (no spurious large deformation) while not degrading the mask."""
@@ -366,7 +372,8 @@ class TestFittedLandmarks:
         iou_fit = self._iou(face_mask_from_landmarks(img.shape, lm_jit), oval)
         assert iou_fit >= iou_canon - 0.02
 
-    def test_fit_falls_back_when_not_found(self, rng):
+    def test_fit_falls_back_when_not_found(self):
+        rng = np.random.default_rng(11)
         """No face -> fit returns det.landmarks unchanged (the mask layer
         then falls back to the Otsu ellipse as before)."""
         from stereovisionarray_tpu.roi.face import detect_face, fit_landmarks
@@ -400,7 +407,8 @@ class TestNonFaceRejection:
                 140.0, 225.0) + r.normal(0, 3, (180, 240))),
         ],
     )
-    def test_rejects(self, rng, name, make):
+    def test_rejects(self, name, make):
+        rng = np.random.default_rng(sum(ord(c) for c in name))
         from stereovisionarray_tpu.roi.face import detect_face
 
         img = np.asarray(make(rng), np.float32)
