@@ -219,6 +219,71 @@ def cmd_depth(args) -> int:
     return 0
 
 
+def cmd_reconstruct(args) -> int:
+    """Full-array reconstruction: every selected view gets its own
+    plane-sweep depth; geometric-consistency fusion merges them into one
+    deduplicated point cloud (models/fusion.py)."""
+    _setup_platform(args.platform)
+    import jax.numpy as jnp
+
+    from stereovisionarray_tpu.datasets import load_array, save_array, save_ply
+    from stereovisionarray_tpu.models.fusion import (
+        fused_point_cloud,
+        reconstruct_array,
+    )
+    from stereovisionarray_tpu.utils.obslog import MetricsLogger
+
+    cfg = load_config(args)
+    images, _paths = _load_array_images(args.input, args.half_res)
+    n, h, w = images.shape
+    if n != cfg.camera.rows * cfg.camera.cols:
+        raise SystemExit(
+            f"{n} images but config rig is {cfg.camera.rows}x{cfg.camera.cols}; "
+            f"fix with --set camera.rows=R --set camera.cols=C"
+        )
+    cams = _rig_from_config(cfg, (h, w))
+    views = tuple(args.views) if args.views else tuple(range(n))
+    result, depths = reconstruct_array(
+        jnp.asarray(images), cams, cfg, view_indices=views,
+        use_roi=args.roi, rel_thresh=args.rel_thresh,
+        min_support=args.min_support,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    # colors: each kept point takes its source view's intensity
+    colors = jnp.stack([jnp.asarray(images[v]) for v in views])
+    pts, conf, col = fused_point_cloud(result, colors)
+    col3 = None
+    if col is not None and col.size:
+        c8 = np.clip(np.asarray(col), 0, 255).astype(np.uint8)
+        col3 = np.stack([c8, c8, c8], axis=-1)
+    n_pts = save_ply(os.path.join(args.output, "fused_cloud.ply"),
+                     pts, colors=col3)
+    save_array(os.path.join(args.output, "fused.npz"),
+               {"depths": np.asarray(result.depth),
+                "valid": np.asarray(result.valid),
+                "support": np.asarray(result.support),
+                "confidence": np.asarray(result.confidence),
+                "views": np.asarray(views)},
+               metadata={"config": cfg.to_dict()})
+    out = {"points": int(n_pts), "views": list(map(int, views)),
+           "mean_support": float(np.asarray(result.support)[np.asarray(result.valid)].mean())
+           if n_pts else 0.0,
+           "output": args.output}
+    gt_path = args.ground_truth or os.path.join(args.input, "ground_truth.npz")
+    if os.path.exists(gt_path):
+        arrays, _meta = load_array(gt_path)
+        gt = np.stack([arrays["depths"][v] for v in views])
+        kept = np.asarray(result.valid) & (gt > 0)
+        if kept.any():
+            rel = np.abs(np.asarray(result.depth) - gt)[kept] / gt[kept]
+            out["median_rel_err"] = float(np.median(rel))
+            out["bad_2pct_depth"] = float((rel > 0.02).mean())
+    MetricsLogger(os.path.join(args.output, "metrics.jsonl")).log(
+        "reconstruct", **out)
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def cmd_two_view(args) -> int:
     """Rectified two-view SGM disparity (BASELINE.json configs 1+2)."""
     _setup_platform(args.platform)
@@ -449,6 +514,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
     _add_probe(p)
     p.set_defaults(fn=cmd_depth)
+
+    p = sub.add_parser("reconstruct",
+                       help="array images -> per-view depths -> fused cloud")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="folder of array images (sorted)")
+    p.add_argument("--views", type=int, nargs="*", default=None,
+                   help="view indices to reconstruct (default: all)")
+    p.add_argument("--roi", action="store_true", help="gate with detected face ROI")
+    p.add_argument("--half-res", action="store_true")
+    p.add_argument("--rel-thresh", type=float, default=0.01,
+                   help="relative depth-agreement tolerance")
+    p.add_argument("--min-support", type=int, default=3,
+                   help="min agreeing views (incl. self) to keep a point")
+    p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
+    p.set_defaults(fn=cmd_reconstruct)
 
     p = sub.add_parser("two-view", help="rectified pair -> SGM disparity")
     _add_common(p)

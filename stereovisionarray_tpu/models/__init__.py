@@ -19,6 +19,13 @@ from stereovisionarray_tpu.models.array_pipeline import (  # noqa: F401
     array_baselines,
     array_depth_pipeline,
 )
+from stereovisionarray_tpu.models.fusion import (  # noqa: F401
+    FusionResult,
+    depth_normals,
+    fuse_depth_maps,
+    fused_point_cloud,
+    reconstruct_array,
+)
 from stereovisionarray_tpu.models.serving import (  # noqa: F401
     FrameResult,
     frame_sets_from_dirs,

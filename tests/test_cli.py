@@ -71,6 +71,21 @@ def test_depth_pipeline_cli(rendered, tmp_path, capsys):
         assert os.path.exists(os.path.join(out_dir, artifact)), artifact
 
 
+def test_reconstruct_cli(rendered, tmp_path, capsys):
+    out_dir = str(tmp_path / "recon")
+    rc, result = _run(capsys, [
+        "reconstruct", "--input", rendered, "--output", out_dir,
+        "--views", "3", "4", "--min-support", "2",
+        "--rel-thresh", "0.02", *SMALL,
+    ])
+    assert rc == 0
+    assert result["points"] > 500
+    assert result["median_rel_err"] < 0.05
+    assert result["mean_support"] >= 2.0
+    for artifact in ("fused_cloud.ply", "fused.npz", "metrics.jsonl"):
+        assert os.path.exists(os.path.join(out_dir, artifact)), artifact
+
+
 def test_depth_rejects_wrong_rig_shape(rendered, tmp_path):
     with pytest.raises(SystemExit):
         main(["depth", "--input", rendered, "--output", str(tmp_path / "x")])
