@@ -179,10 +179,12 @@ def cmd_depth(args) -> int:
     log = MetricsLogger(os.path.join(args.output, "metrics.jsonl"))
     save_png(os.path.join(args.output, "depth.png"), np.asarray(out.refined_depth))
     save_png(os.path.join(args.output, "disparity.png"), np.asarray(out.refined_disparity))
-    save_array(os.path.join(args.output, "depth.npz"),
-               {"depth": np.asarray(out.refined_depth),
-                "disparity": np.asarray(out.refined_disparity),
-                "valid": np.asarray(out.valid)},
+    payload = {"depth": np.asarray(out.refined_depth),
+               "disparity": np.asarray(out.refined_disparity),
+               "valid": np.asarray(out.valid)}
+    if out.sweep.confidence is not None:
+        payload["confidence"] = np.asarray(out.sweep.confidence)
+    save_array(os.path.join(args.output, "depth.npz"), payload,
                metadata={"config": cfg.to_dict()})
     ref_index = args.ref_index
     if ref_index is None:
@@ -306,10 +308,19 @@ def cmd_two_view(args) -> int:
     if out.depth is not None:
         payload["depth"] = np.asarray(out.depth)
         save_png(os.path.join(args.output, "depth.png"), np.asarray(out.depth))
+    if out.confidence is not None:
+        payload["confidence"] = np.asarray(out.confidence)
+        save_png(os.path.join(args.output, "confidence.png"),
+                 np.asarray(out.confidence) * 255.0)
     save_array(os.path.join(args.output, "two_view.npz"), payload,
                metadata={"config": cfg.to_dict()})
     report = {"valid_fraction": float(np.asarray(out.valid).mean()),
               "output": args.output}
+    if out.confidence is not None:
+        v = np.asarray(out.valid)
+        report["mean_confidence"] = (
+            float(np.asarray(out.confidence)[v].mean()) if v.any() else 0.0
+        )
     if args.probe:
         report["probes"] = _probe_report(payload, args.probe)
     print(json.dumps(report, sort_keys=True))

@@ -43,6 +43,7 @@ class PlaneSweepOutput(NamedTuple):
     cost: jnp.ndarray  # (H, W) winning fused cost
     valid: jnp.ndarray  # (H, W) bool
     num_views: jnp.ndarray  # (H, W) int32 valid views at the winning plane
+    confidence: Optional[jnp.ndarray] = None  # (H, W) PKRN in [0,1), 0 invalid
 
 
 def _box_filter(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -486,6 +487,9 @@ def plane_sweep_depth(
         k = maps.disparity  # fractional winning plane index
         cost = maps.cost / scale  # back to unscaled cost units
         k_int = jnp.clip(jnp.round(k).astype(jnp.int32), 0, cfg.num_planes - 1)
+        from stereovisionarray_tpu.ops.confidence import pkrn_confidence
+
+        conf = pkrn_confidence(maps.cost, maps.second)  # scale-invariant
     else:
         if sgm_cfg is not None:
             vol = sgm_aggregate(
@@ -499,6 +503,9 @@ def plane_sweep_depth(
             )
         k_int, cost = winner_take_all(vol)
         k = subpixel_refine(vol, k_int)  # fractional plane index
+        from stereovisionarray_tpu.ops.confidence import confidence_from_volume
+
+        conf = confidence_from_volume(vol, k_int)
 
     inv_near = 1.0 / cfg.z_near
     inv_far = 1.0 / cfg.z_far
@@ -517,5 +524,6 @@ def plane_sweep_depth(
         valid = valid & mask
     depth = jnp.where(valid, depth, 0.0)
     return PlaneSweepOutput(
-        depth=depth, plane=k, cost=cost, valid=valid, num_views=views_at_win
+        depth=depth, plane=k, cost=cost, valid=valid, num_views=views_at_win,
+        confidence=jnp.where(valid, conf, 0.0),
     )

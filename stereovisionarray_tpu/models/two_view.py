@@ -28,6 +28,7 @@ class TwoViewOutput(NamedTuple):
     valid: jnp.ndarray  # (H, W) bool
     cost: jnp.ndarray  # (H, W) winning aggregated cost
     depth: Optional[jnp.ndarray] = None  # (H, W) when baseline+focal given
+    confidence: Optional[jnp.ndarray] = None  # (H, W) PKRN in [0,1), 0 invalid
 
 
 def disparity_to_depth(
@@ -169,11 +170,14 @@ def two_view_disparity(
                 lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
                 interpret=interpret,
             )
+            from stereovisionarray_tpu.ops.confidence import pkrn_confidence
+
             valid = maps.valid if mask is None else maps.valid & mask
             res = DisparityResult(
                 disparity=jnp.where(valid, maps.disparity, INVALID_DISPARITY),
                 cost=maps.cost,
                 valid=valid,
+                confidence=pkrn_confidence(maps.cost, maps.second, valid),
             )
         else:
             vol = fused_cost_volume(
@@ -233,6 +237,7 @@ def two_view_disparity(
             uniqueness=sgm_cfg.uniqueness,
             lr_max_diff=sgm_cfg.lr_max_diff,
             mask=mask,
+            with_confidence=True,
         )
         cost_map = res.cost
 
@@ -258,4 +263,11 @@ def two_view_disparity(
             disparity_to_depth(disparity, baseline, focal_px),
             0.0,
         )
-    return TwoViewOutput(disparity=disparity, valid=valid, cost=cost_map, depth=depth)
+    conf = res.confidence
+    if conf is not None:
+        # post-filters can invalidate pixels after extraction
+        conf = jnp.where(valid, conf, 0.0)
+    return TwoViewOutput(
+        disparity=disparity, valid=valid, cost=cost_map, depth=depth,
+        confidence=conf,
+    )

@@ -12,6 +12,11 @@ from stereovisionarray_tpu.ops.sgm import (  # noqa: F401
     sgm_aggregate,
     sgm_aggregate_reference,
 )
+from stereovisionarray_tpu.ops.confidence import (  # noqa: F401
+    confidence_from_volume,
+    pkrn_confidence,
+    second_best_cost,
+)
 from stereovisionarray_tpu.ops.wta import (  # noqa: F401
     disparity_from_volume,
     left_right_check,

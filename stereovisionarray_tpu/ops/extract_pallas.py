@@ -169,10 +169,13 @@ def _right_at_left(d_sub, dr_sub, D):
 def extract_row_maps(a16, D, subpixel, uniqueness, lr_max_diff):
     """Extraction math for ONE (D, W) aggregated slab in the volume dtype.
 
-    Returns ``(d_sub, cost, ok)``, each ``(1, W)`` (f32, f32, bool). Shared
-    by the standalone extraction kernel below and the fused
-    final-sweep-plus-extraction kernel in ``ops/sgm_pallas.py`` (which has
-    the slab in registers and skips the extra volume write + read)."""
+    Returns ``(d_sub, cost, ok, second)``, each ``(1, W)`` (f32, f32, bool,
+    f32; ``second`` = best cost outside winner±1, the PKRN confidence
+    numerator — computed for the uniqueness test anyway, exported for
+    ``ops/confidence.py``). Shared by the standalone extraction kernel below
+    and the fused final-sweep-plus-extraction kernel in
+    ``ops/sgm_pallas.py`` (which has the slab in registers and skips the
+    extra volume write + read)."""
     if a16.dtype == jnp.int8:
         # int8 volumes (raw-WTA mode over an int8 cost volume): the barrel
         # below runs on the narrow dtype, and Mosaic legalizes no i8
@@ -209,19 +212,20 @@ def extract_row_maps(a16, D, subpixel, uniqueness, lr_max_diff):
         at = _right_at_left(d_sub, dr_sub, D)
         ok &= jnp.abs(d_sub - at) <= lr_max_diff
         ok &= at < _BIG  # x - d_L out of image -> no evidence
-    return d_sub, cost, ok
+    return d_sub, cost, ok, second.astype(jnp.float32)
 
 
-def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, *, rows, n_disp,
-                    subpixel, uniqueness, lr_max_diff):
+def _extract_kernel(vol_ref, disp_ref, cost_ref, valid_ref, second_ref, *,
+                    rows, n_disp, subpixel, uniqueness, lr_max_diff):
     for r in range(rows):
         a16 = vol_ref[r]  # (D, W) in the VOLUME dtype (int16 on the fast path)
-        d_sub, cost, ok = extract_row_maps(
+        d_sub, cost, ok, second = extract_row_maps(
             a16, n_disp, subpixel, uniqueness, lr_max_diff
         )
         disp_ref[r] = d_sub[0]
         cost_ref[r] = cost[0]
         valid_ref[r] = ok[0]
+        second_ref[r] = second[0]
 
 
 def _lr_check_kernel(dl_ref, dr_ref, ok_ref, *, rows, n_disp):
@@ -260,6 +264,7 @@ class ExtractMaps(NamedTuple):
     disparity: jnp.ndarray  # (H, W) subpixel disparity (pre-masking)
     cost: jnp.ndarray  # (H, W) winning aggregated cost
     valid: jnp.ndarray  # (H, W) uniqueness & LR validity
+    second: jnp.ndarray  # (H, W) second-best cost outside winner±1 (PKRN)
 
 
 def extract_maps_hdw(
@@ -276,7 +281,7 @@ def extract_maps_hdw(
     idx3 = lambda i: (i, 0, 0)
     idx2 = lambda i: (i, 0)
     out2 = lambda: pl.BlockSpec((rows, w), idx2, memory_space=pltpu.VMEM)
-    disp, cost, valid = pl.pallas_call(
+    disp, cost, valid, second = pl.pallas_call(
         functools.partial(
             _extract_kernel,
             rows=rows,
@@ -287,15 +292,16 @@ def extract_maps_hdw(
         ),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((rows, d, w), idx3, memory_space=pltpu.VMEM)],
-        out_specs=(out2(), out2(), out2()),
+        out_specs=(out2(), out2(), out2(), out2()),
         out_shape=(
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.bool_),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
         ),
         interpret=interpret,
     )(vol)
-    return ExtractMaps(disp, cost, valid)
+    return ExtractMaps(disp, cost, valid, second)
 
 
 @functools.partial(
@@ -324,4 +330,9 @@ def extract_disparity_hdw(
     if mask is not None:
         valid = valid & mask
     disp = jnp.where(valid, maps.disparity, INVALID_DISPARITY)
-    return DisparityResult(disparity=disp, cost=maps.cost, valid=valid)
+    from stereovisionarray_tpu.ops.confidence import pkrn_confidence
+
+    conf = pkrn_confidence(maps.cost, maps.second, valid)
+    return DisparityResult(
+        disparity=disp, cost=maps.cost, valid=valid, confidence=conf
+    )

@@ -588,8 +588,8 @@ def sgm_aggregate_pallas(
 
 
 def _sweep_extract_kernel(vol_ref, p2_ref, acc_ref, disp_ref, cost_ref,
-                          valid_ref, *carries, p1, rows, n_disp, diagonals,
-                          subpixel, uniqueness, lr_max_diff):
+                          valid_ref, second_ref, *carries, p1, rows, n_disp,
+                          diagonals, subpixel, uniqueness, lr_max_diff):
     """Reverse (bottom-up) vertical sweep with extraction fused in.
 
     acc_ref holds the sum of every OTHER path group (down-group sweep that
@@ -611,12 +611,13 @@ def _sweep_extract_kernel(vol_ref, p2_ref, acc_ref, disp_ref, cost_ref,
 
     def emit(r, total):
         a16 = narrow(total)  # extraction barrels run on the narrow dtype
-        d_sub, cost, ok = extract_row_maps(
+        d_sub, cost, ok, second = extract_row_maps(
             a16, D, subpixel, uniqueness, lr_max_diff
         )
         disp_ref[r] = d_sub
         cost_ref[r] = cost
         valid_ref[r] = ok
+        second_ref[r] = second
 
     for r in range(rows - 1, -1, -1):
         row = vol_ref[r].astype(compute_dtype)  # (D, N)
@@ -691,10 +692,11 @@ def _sweep_hdw_extract(vol, p2_map, p1, acc, diagonals, interpret,
         pl.BlockSpec((rows, 1, n), idx, memory_space=pltpu.VMEM),
         jax.ShapeDtypeStruct((s, 1, n), dt),
     )
-    (dspec, dshape), (cspec, cshape), (vspec, vshape) = (
+    (dspec, dshape), (cspec, cshape), (vspec, vshape), (sspec, sshape) = (
         out3(jnp.float32), out3(jnp.float32), out3(jnp.bool_),
+        out3(jnp.float32),
     )
-    disp, cost, valid = pl.pallas_call(
+    disp, cost, valid, second = pl.pallas_call(
         functools.partial(
             _sweep_extract_kernel, p1=float(p1), rows=rows, n_disp=d,
             diagonals=diagonals, subpixel=bool(subpixel),
@@ -706,12 +708,12 @@ def _sweep_hdw_extract(vol, p2_map, p1, acc, diagonals, interpret,
             pl.BlockSpec((rows, 1, n), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, d, n), idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=(dspec, cspec, vspec),
-        out_shape=(dshape, cshape, vshape),
+        out_specs=(dspec, cspec, vspec, sspec),
+        out_shape=(dshape, cshape, vshape, sshape),
         scratch_shapes=[pltpu.VMEM(carry_shape, _carry_dtype(vol.dtype))],
         interpret=interpret,
     )(vol, p2_map[:, None, :], acc)
-    return disp[:, 0], cost[:, 0], valid[:, 0]
+    return disp[:, 0], cost[:, 0], valid[:, 0], second[:, 0]
 
 
 @functools.partial(
@@ -776,11 +778,11 @@ def sgm_extract_fused_hdw(
         if diagonals
         else _sweep_hdw(vol, p2_y, p1, False, False, interpret, acc=horiz_t)
     )
-    disp, cost, valid = _sweep_hdw_extract(
+    disp, cost, valid, second = _sweep_hdw_extract(
         vol, p2_y, p1, down, diagonals, interpret, subpixel, uniqueness,
         lr_max_diff,
     )
-    return ExtractMaps(disparity=disp, cost=cost, valid=valid)
+    return ExtractMaps(disparity=disp, cost=cost, valid=valid, second=second)
 
 
 # --------------------------------------------------------------------- #
@@ -804,8 +806,9 @@ def sgm_extract_fused_hdw(
 
 
 def _rl_extract_kernel(vol_ref, p2_ref, acc_ref, displ_ref, cost_ref,
-                       validu_ref, dispr_ref, carry, pbest, bidx, prev, cmb,
-                       cpb, updl, *, p1, rows, n_disp, subpixel, uniqueness):
+                       validu_ref, dispr_ref, secondl_ref, carry, pbest,
+                       bidx, prev, cmb, cpb, updl, *, p1, rows, n_disp,
+                       subpixel, uniqueness):
     """Reverse (right-to-left) horizontal sweep over a (W, D, H) volume
     with both extraction views fused in.
 
@@ -874,7 +877,9 @@ def _rl_extract_kernel(vol_ref, p2_ref, acc_ref, displ_ref, cost_ref,
         c = a16.astype(compute_dtype)  # candidate column, stored-int16 bits
 
         # left view: same code as the standalone volume-extraction kernel
-        d_sub, cost, ok = extract_row_maps(a16, D, subpixel, uniqueness, 0.0)
+        d_sub, cost, ok, secondl = extract_row_maps(
+            a16, D, subpixel, uniqueness, 0.0
+        )
 
         # right view: age buffers, resolve pending cm, merge candidates
         pv = shift_down(prev[:], big)
@@ -919,6 +924,7 @@ def _rl_extract_kernel(vol_ref, p2_ref, acc_ref, displ_ref, cost_ref,
         cost_ref[r] = cost
         validu_ref[r] = ok
         dispr_ref[r] = dr
+        secondl_ref[r] = secondl
 
     for r in range(rows - 1, -1, -1):
         row = vol_ref[r].astype(compute_dtype)  # (D, H)
@@ -959,8 +965,9 @@ def _rl_extract_wdh(vol_t, p2_map_t, p1, acc, interpret, subpixel,
         jax.ShapeDtypeStruct((w, 1, h), dt),
     )
     specs, shapes = zip(out3(jnp.float32), out3(jnp.float32),
-                        out3(jnp.bool_), out3(jnp.float32))
-    displ, cost, validu, dispr = pl.pallas_call(
+                        out3(jnp.bool_), out3(jnp.float32),
+                        out3(jnp.float32))
+    displ, cost, validu, dispr, secondl = pl.pallas_call(
         functools.partial(
             _rl_extract_kernel, p1=float(p1), rows=rows, n_disp=d,
             subpixel=bool(subpixel), uniqueness=float(uniqueness),
@@ -988,7 +995,7 @@ def _rl_extract_wdh(vol_t, p2_map_t, p1, acc, interpret, subpixel,
         ],
         interpret=interpret,
     )(vol_t, p2_map_t[:, None, :], acc)
-    return displ[:, 0], cost[:, 0], validu[:, 0], dispr[:, 0]
+    return displ[:, 0], cost[:, 0], validu[:, 0], dispr[:, 0], secondl[:, 0]
 
 
 @functools.partial(
@@ -1061,16 +1068,17 @@ def sgm_extract_fused_wdh(
     )
     vert_t = transpose_hdw(vert, interpret)  # (W, D, H)
     fwd = _sweep_hdw(vol_t, p2_x_t, p1, False, False, interpret, acc=vert_t)
-    displ, cost, validu, dispr = _rl_extract_wdh(
+    displ, cost, validu, dispr, secondl = _rl_extract_wdh(
         vol_t, p2_x_t, p1, fwd, interpret, subpixel, uniqueness,
     )
     disp_l = jnp.transpose(displ)  # (H, W)
     cost = jnp.transpose(cost)
     valid = jnp.transpose(validu)
+    second = jnp.transpose(secondl)
     if lr_max_diff > 0.0:
         at = lr_gather_maps(disp_l, jnp.transpose(dispr), d, interpret)
         valid = valid & (jnp.abs(disp_l - at) <= lr_max_diff) & (at < _BIG)
-    return ExtractMaps(disparity=disp_l, cost=cost, valid=valid)
+    return ExtractMaps(disparity=disp_l, cost=cost, valid=valid, second=second)
 
 
 # --------------------------------------------------------------------- #

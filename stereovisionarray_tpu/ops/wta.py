@@ -32,6 +32,7 @@ class DisparityResult(NamedTuple):
     disparity: jnp.ndarray  # (H, W) float32, INVALID_DISPARITY where rejected
     cost: jnp.ndarray  # (H, W) winning aggregated cost
     valid: jnp.ndarray  # (H, W) bool
+    confidence: Optional[jnp.ndarray] = None  # (H, W) PKRN in [0,1), 0 invalid
 
 
 def winner_take_all(vol: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -94,6 +95,7 @@ def disparity_from_volume(
     uniqueness: float = 0.0,
     lr_max_diff: float = 0.0,
     mask: Optional[jnp.ndarray] = None,
+    with_confidence: bool = False,
 ) -> DisparityResult:
     """Full extraction: WTA -> subpixel -> uniqueness -> LR check -> mask.
 
@@ -117,4 +119,9 @@ def disparity_from_volume(
     if mask is not None:
         valid &= mask
     disp = jnp.where(valid, disp, INVALID_DISPARITY)
-    return DisparityResult(disparity=disp, cost=c, valid=valid)
+    conf = None
+    if with_confidence:
+        from stereovisionarray_tpu.ops.confidence import confidence_from_volume
+
+        conf = confidence_from_volume(vol, d_int, valid)
+    return DisparityResult(disparity=disp, cost=c, valid=valid, confidence=conf)

@@ -280,7 +280,11 @@ def _two_view_program(
         # carries cross shards via the relay, not the halo
         use_halo = min(max(cost_cfg.census_window[0] // 2, 1), H // n_tile)
     else:
-        use_halo = min(halo, H // n_tile) if n_tile > 1 else 0
+        # cap at full coverage: (n_tile-1) blocks reconstructs every row of
+        # the global image on each shard (exchange_halo relays multi-hop
+        # when the halo spans several blocks), making halo-mode SGM
+        # bit-exact at any tile count
+        use_halo = min(halo, H - H // n_tile) if n_tile > 1 else 0
 
     def _one_pair_exact(l_ext: jnp.ndarray, r_ext: jnp.ndarray, disp_idx) -> tuple:
         """Exact tile sharding: cost on the (small) halo-extended rows, crop
@@ -323,8 +327,9 @@ def _two_view_program(
             subpixel=sgm_cfg.subpixel,
             uniqueness=sgm_cfg.uniqueness,
             lr_max_diff=sgm_cfg.lr_max_diff,
+            with_confidence=True,
         )
-        return res.disparity, res.valid, res.cost
+        return res.disparity, res.valid, res.cost, res.confidence
 
     def _one_pair_pallas_exact(l_ext, r_ext, disp_idx) -> tuple:
         """Exact tile sharding on the PRODUCTION int16/int8 Pallas kernels
@@ -395,7 +400,7 @@ def _two_view_program(
             lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
             interpret=interpret,
         )
-        return res.disparity, res.valid, res.cost
+        return res.disparity, res.valid, res.cost, res.confidence
 
     def _one_pair_pallas(l_ext, r_ext, disp_idx) -> tuple:
         """Fast path: (h_ext, D, W) int16 volume, fused sweep kernels, one-
@@ -447,7 +452,10 @@ def _two_view_program(
             from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
 
             disp = jnp.where(maps.valid, maps.disparity, INVALID_DISPARITY)
-            return disp, maps.valid, maps.cost
+            from stereovisionarray_tpu.ops.confidence import pkrn_confidence
+
+            conf = pkrn_confidence(maps.cost, maps.second, maps.valid)
+            return disp, maps.valid, maps.cost, conf
 
         branches = [
             functools.partial(
@@ -464,7 +472,7 @@ def _two_view_program(
             lr_max_diff=sgm_cfg.lr_max_diff if sgm_cfg.lr_max_diff > 0 else 0.0,
             interpret=interpret,
         )
-        return res.disparity, res.valid, res.cost
+        return res.disparity, res.valid, res.cost, res.confidence
 
     def _one_pair(l_ext: jnp.ndarray, r_ext: jnp.ndarray, disp_idx) -> tuple:
         """Pipeline on one halo-extended (h_ext, W) pair; disp_idx traced."""
@@ -505,8 +513,9 @@ def _two_view_program(
             subpixel=sgm_cfg.subpixel,
             uniqueness=sgm_cfg.uniqueness,
             lr_max_diff=sgm_cfg.lr_max_diff,
+            with_confidence=True,
         )
-        return res.disparity, res.valid, res.cost
+        return res.disparity, res.valid, res.cost, res.confidence
 
     if exact_tiles and use_pallas:
         one_pair = _one_pair_pallas_exact
@@ -523,19 +532,20 @@ def _two_view_program(
         if use_halo > 0:
             l = exchange_halo(l, use_halo, AXIS_TILE, axis=1, edge_mode="edge")
             r = exchange_halo(r, use_halo, AXIS_TILE, axis=1, edge_mode="edge")
-        d, v, c = jax.vmap(lambda a, b: one_pair(a, b, disp_idx))(l, r)
+        d, v, c, cf = jax.vmap(lambda a, b: one_pair(a, b, disp_idx))(l, r)
         if use_halo > 0 and not exact_tiles:  # exact mode crops internally
             d = crop_halo(d, use_halo, axis=1)
             v = crop_halo(v, use_halo, axis=1)
             c = crop_halo(c, use_halo, axis=1)
-        return d, v, c
+            cf = crop_halo(cf, use_halo, axis=1)
+        return d, v, c, cf
 
     spec_in = P(AXIS_DATA, AXIS_TILE, None)
     sharded = jax.shard_map(
         _local,
         mesh=mesh,
         in_specs=(spec_in, spec_in),
-        out_specs=(spec_in, spec_in, spec_in),
+        out_specs=(spec_in, spec_in, spec_in, spec_in),
         check_vma=False,
     )
     img_dtype = jnp.float32 if integer_costs else dtype
@@ -586,14 +596,16 @@ def sharded_two_view_disparity(
     )
     left = jax.device_put(left.astype(img_dtype), NamedSharding(mesh, spec_in))
     right = jax.device_put(right.astype(img_dtype), NamedSharding(mesh, spec_in))
-    disp, valid, cost = program(left, right)
+    disp, valid, cost, conf = program(left, right)
     if mask is not None:
         valid = valid & mask
         disp = jnp.where(valid, disp, -1.0)
+    conf = jnp.where(valid, conf, 0.0)
     depth = None
     if baseline is not None and focal_px is not None:
         depth = jnp.where(valid, disparity_to_depth(disp, baseline, focal_px), 0.0)
-    return TwoViewOutput(disparity=disp, valid=valid, cost=cost, depth=depth)
+    return TwoViewOutput(disparity=disp, valid=valid, cost=cost, depth=depth,
+                         confidence=conf)
 
 
 def sharded_wta(
