@@ -44,6 +44,76 @@ CFG_COST = CostConfig(num_disparities=16, census_window=(5, 5))
 CFG_SGM = SGMConfig(p1=4.0, p2=32.0, num_paths=8, adaptive_p2=True)
 
 
+class TestHaloExchange:
+    """exchange_halo / mask_out_of_image vs a numpy padding oracle, single-
+    and multi-hop (halo > block relays whole blocks around the ring)."""
+
+    @pytest.mark.parametrize("halo", [2, 4, 7, 11, 21, 28])
+    @pytest.mark.parametrize("mode", ["edge", "fill"])
+    def test_exchange_matches_pad_oracle(self, halo, mode):
+        from jax.sharding import PartitionSpec as P
+
+        from stereovisionarray_tpu.parallel.halo import exchange_halo
+
+        n, blk, w = 8, 4, 16
+        full = np.arange(n * blk * w, dtype=np.float32).reshape(n * blk, w)
+        mesh = make_mesh(1, 8, 1)
+
+        def local(b):
+            b = b[0]  # drop the data-axis singleton
+            return exchange_halo(
+                b, halo, "tile", axis=0, edge_fill=-7.0, edge_mode=mode
+            )[None]
+
+        ext = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=P("data", "tile", None),
+            out_specs=P("data", "tile", None),
+            check_vma=False,
+        ))(jnp.asarray(full)[None])[0]
+        ext = np.asarray(ext).reshape(n, blk + 2 * halo, w)
+        if mode == "edge":
+            padded = np.pad(full, ((halo, halo), (0, 0)), mode="edge")
+        else:
+            padded = np.pad(full, ((halo, halo), (0, 0)),
+                            constant_values=-7.0)
+        for i in range(n):
+            want = padded[i * blk : i * blk + blk + 2 * halo]
+            np.testing.assert_array_equal(ext[i], want, err_msg=f"shard {i}")
+
+    @pytest.mark.parametrize("halo", [3, 9, 28])
+    def test_mask_out_of_image_global_positions(self, halo):
+        from jax.sharding import PartitionSpec as P
+
+        from stereovisionarray_tpu.parallel.halo import (
+            exchange_halo,
+            mask_out_of_image,
+        )
+
+        n, blk, w = 8, 4, 8
+        full = np.arange(n * blk * w, dtype=np.float32).reshape(n * blk, w)
+        mesh = make_mesh(1, 8, 1)
+
+        def local(b):
+            ext = exchange_halo(b[0], halo, "tile", axis=0, edge_mode="edge")
+            return mask_out_of_image(ext, halo, "tile", axis=0,
+                                     fill_value=-1.0)[None]
+
+        ext = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=P("data", "tile", None),
+            out_specs=P("data", "tile", None),
+            check_vma=False,
+        ))(jnp.asarray(full)[None])[0]
+        ext = np.asarray(ext).reshape(n, blk + 2 * halo, w)
+        for i in range(n):
+            g = i * blk + np.arange(blk + 2 * halo) - halo
+            oob = (g < 0) | (g >= n * blk)
+            want = np.where(oob[:, None], -1.0,
+                            full[np.clip(g, 0, n * blk - 1)])
+            np.testing.assert_array_equal(ext[i], want, err_msg=f"shard {i}")
+
+
 class TestMesh:
     def test_default_shape_products(self):
         for n in (1, 2, 4, 8, 16):
@@ -92,18 +162,29 @@ class TestShardedTwoView:
     # (2,2,2) exercises all axes; (1,2,4) the max disp split; (2,4,1) the
     # UNDIVIDED disp axis = the fully-fused sweep+extract program branch
     @pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (2, 2, 2), (2, 4, 1)])
-    def test_pallas_backend_matches_single_chip(self, rng, mesh_shape):
+    def test_pallas_backend_matches_single_chip(self, mesh_shape):
         """The int16 Pallas fast path under shard_map (sweep-granularity path
         parallelism + fused extraction) must reproduce the single-chip Pallas
-        pipeline exactly when the halo covers the tile block (VERDICT r1
-        item 3: the fast kernels must run sharded, not just single-chip)."""
+        pipeline exactly when the halo covers the FULL remaining image
+        (multi-hop exchange; VERDICT r1 item 3: the fast kernels must run
+        sharded, not just single-chip).
+
+        The input is pinned to the batch that exposed the old behaviour:
+        with the halo clamped to ONE block (12 rows on the 4-tile mesh),
+        5 left-border pixels of rng(0)'s third batch disagreed — truncated
+        SGM carry history, order-dependent via the shared session rng. The
+        multi-hop halo (36 rows = every row above/below the block) makes
+        exactness unconditional."""
         from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
 
-        left, right = _stereo_batch(rng)
+        local_rng = np.random.default_rng(0)
+        _stereo_batch(local_rng)
+        _stereo_batch(local_rng)
+        left, right = _stereo_batch(local_rng)  # the once-failing batch
         mesh = make_mesh(*mesh_shape)
         out = sharded_two_view_disparity(
             jnp.asarray(left), jnp.asarray(right), mesh, CFG_COST, CFG_SGM,
-            halo=32, backend="pallas_interpret",
+            halo=36, backend="pallas_interpret",
         )
         ref = jax.vmap(
             lambda l, r: two_view_disparity(
@@ -118,6 +199,16 @@ class TestShardedTwoView:
         # (regression: the fused n_disp==1 branch once returned raw WTA
         # values at uniqueness/LR-rejected pixels)
         assert (d_sh[~v_sh] == INVALID_DISPARITY).all()
+        # confidence plumbs through shard_map and matches single-chip
+        c_sh = np.asarray(out.confidence)
+        c_ref = np.asarray(jax.vmap(
+            lambda l, r: two_view_disparity(
+                l, r, CFG_COST, CFG_SGM, backend="pallas_interpret"
+            ).confidence
+        )(jnp.asarray(left), jnp.asarray(right)))
+        both = v_sh & v_ref
+        assert np.abs(c_sh[both] - c_ref[both]).max() < 1e-5
+        assert (c_sh[~v_sh] == 0.0).all()
 
     @pytest.mark.parametrize("mesh_shape", [(1, 8, 1), (2, 4, 1)])
     def test_exact_tile_mode_bit_identical(self, rng, mesh_shape):
