@@ -248,7 +248,7 @@ def cmd_reconstruct(args) -> int:
     result, depths = reconstruct_array(
         jnp.asarray(images), cams, cfg, view_indices=views,
         use_roi=args.roi, rel_thresh=args.rel_thresh,
-        min_support=args.min_support,
+        min_support=args.min_support, min_confidence=args.min_confidence,
     )
     os.makedirs(args.output, exist_ok=True)
     # colors: each kept point takes its source view's intensity
@@ -538,6 +538,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="relative depth-agreement tolerance")
     p.add_argument("--min-support", type=int, default=3,
                    help="min agreeing views (incl. self) to keep a point")
+    p.add_argument("--min-confidence", type=float, default=0.0,
+                   help="drop pixels below this PKRN matching confidence "
+                        "before the consistency vote")
     p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
     p.set_defaults(fn=cmd_reconstruct)
 

@@ -189,6 +189,7 @@ def reconstruct_array(
     rel_thresh: float = 0.01,
     min_support: int = 3,
     dedup: bool = True,
+    min_confidence: float = 0.0,
 ) -> Tuple[FusionResult, jnp.ndarray]:
     """Full-array reconstruction: per-view depth maps -> fused point cloud.
 
@@ -218,8 +219,15 @@ def reconstruct_array(
         out = array_depth_pipeline(
             images, cameras, cfg, ref_index=int(ref), use_roi=use_roi
         )
+        valid = out.valid
+        if min_confidence > 0.0 and out.sweep.confidence is not None:
+            # matching-ambiguity gate (PKRN, ops/confidence.py) on top of
+            # the geometric-consistency filter below: drop pixels whose
+            # plane-sweep winner was not decisively better than its
+            # second-best before they can vote at all
+            valid = valid & (out.sweep.confidence >= min_confidence)
         depths.append(out.refined_depth)
-        valids.append(out.valid)
+        valids.append(valid)
     depths = jnp.stack(depths)
     valids = jnp.stack(valids)
     sub = cameras[jnp.asarray(list(view_indices))]

@@ -153,6 +153,34 @@ class TestReconstruct:
         # pixel has at least one independent agreeing view
         assert np.asarray(result.support)[kept].min() >= 2
 
+    def test_min_confidence_gates_points(self):
+        """The PKRN gate composes with the geometric filter: a high
+        threshold keeps fewer points and does not hurt accuracy."""
+        from stereovisionarray_tpu.config import EngineConfig
+        from stereovisionarray_tpu.models.fusion import reconstruct_array
+
+        res = (48, 64)
+        cams = reference_rig(rows=3, cols=3, spacing=0.05, resolution=res)
+        images, gt_depths = render_camera_array(cams, res, SceneSpec())
+        cfg = EngineConfig().override(**{
+            "camera.rows": 3, "camera.cols": 3,
+            "plane_sweep.num_planes": 48,
+            "plane_sweep.topology": "to_center",
+            "plane_sweep.patch": 5,
+            "refine.radius": 2, "refine.window": 9,
+            "sgm.num_paths": 4,
+        })
+        kw = dict(view_indices=(3, 4, 5), rel_thresh=0.02, min_support=2)
+        base, _ = reconstruct_array(images, cams, cfg, **kw)
+        gated, _ = reconstruct_array(images, cams, cfg, min_confidence=0.6, **kw)
+        n_base = int(np.asarray(base.valid).sum())
+        n_gated = int(np.asarray(gated.valid).sum())
+        assert 0 < n_gated < n_base
+        sel = np.asarray(gated.valid)[1]
+        rel = np.abs(np.asarray(gated.depth)[1][sel] - gt_depths[4][sel]) / gt_depths[4][sel]
+        if sel.sum() > 50:
+            assert np.median(rel) < 0.02
+
 
 class TestNormals:
     def test_plane_normals_face_camera(self, rig):
