@@ -36,8 +36,12 @@ N_TILE = 4  # 540 rows shard into 4 tiles of 135 (8 does not divide 540)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="HALO_STUDY_r03.json")
-    ap.add_argument("--halos", type=int, nargs="*", default=[8, 16, 32, 64])
+    ap.add_argument("--out", default="HALO_STUDY_r04.json")
+    # 200 and 405 exceed the 135-row block: multi-hop ring relay
+    # (parallel/halo.py); 405 = (n_tile-1)*block = full coverage, which is
+    # GUARANTEED bit-exact (every shard sees the whole image)
+    ap.add_argument("--halos", type=int, nargs="*",
+                    default=[8, 16, 32, 64, 200, 405])
     args = ap.parse_args()
 
     from stereovisionarray_tpu.config import CostConfig, SGMConfig
@@ -111,6 +115,24 @@ def main():
         ),
     }
     print(f"exact pallas: {results['exact_relay_pallas_int16']}")
+
+    # full-coverage multi-hop halo on the production Pallas kernels: the
+    # second bit-exact mechanism (all-gather-shaped, parallel sweeps) beside
+    # the relay (minimal memory, serialized sweeps)
+    out_ph = sharded_two_view_disparity(
+        lb, rb, mesh, cc16, sgm_cfg, backend="pallas_interpret",
+        halo=H - H // N_TILE, tile_mode="halo",
+    )
+    dph = np.asarray(out_ph.disparity)[0]
+    vph = np.asarray(out_ph.valid)[0]
+    results["full_halo_pallas_int16"] = {
+        "halo_rows": H - H // N_TILE,
+        "bit_identical_vs_single_chip_pallas": bool(
+            (dph == np.asarray(ref_p.disparity)).all()
+            and (vph == np.asarray(ref_p.valid)).all()
+        ),
+    }
+    print(f"full halo pallas: {results['full_halo_pallas_int16']}")
 
     payload = {
         "shape": [H, W, D],

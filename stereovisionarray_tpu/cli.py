@@ -388,21 +388,46 @@ def cmd_serve(args) -> int:
         )
     cams = _rig_from_config(cfg, (h, w))
 
-    t0 = time.perf_counter()
-    count = 0
-    for res in stream_depth_maps_chunked(
+    stream = stream_depth_maps_chunked(
         frame_sets_from_dirs(dirs, half_res=args.half_res),
         cams, cfg, ref_index=args.ref_index, use_roi=args.roi,
         depth=args.prefetch, chunk=args.chunk,
-    ):
-        depth_np = np.asarray(res.output.refined_depth)
+    )
+    if args.temporal:
+        from stereovisionarray_tpu.geometry.topology import PairTopology, camera_pairs
+        from stereovisionarray_tpu.models import array_baselines
+        from stereovisionarray_tpu.models.serving import stream_temporal
+
+        ref_index = args.ref_index
+        if ref_index is None:
+            ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
+        pairs = camera_pairs(PairTopology(cfg.plane_sweep.topology),
+                             rows=cfg.camera.rows, cols=cfg.camera.cols,
+                             center=ref_index)
+        src = tuple(int(b) for a, b in pairs if a == ref_index) or tuple(
+            int(b) for _, b in pairs)
+        _, b0 = array_baselines(cams, ref_index, src)
+        f_px = float(np.broadcast_to(np.asarray(cams.fx), (n,))[ref_index])
+        stream = stream_temporal(stream, b0, f_px)
+
+    t0 = time.perf_counter()
+    count = 0
+    for res in stream:
+        if args.temporal:
+            depth_np = np.asarray(res.depth)
+            valid_np = np.asarray(res.temporal.valid)
+            extra = {"stability": np.asarray(res.temporal.stability)}
+        else:
+            depth_np = np.asarray(res.output.refined_depth)
+            valid_np = np.asarray(res.output.valid)
+            extra = {}
         save_png(os.path.join(args.output, f"depth_{res.index:04d}.png"), depth_np)
         save_array(
             os.path.join(args.output, f"depth_{res.index:04d}.npz"),
-            {"depth": depth_np, "valid": np.asarray(res.output.valid)},
+            {"depth": depth_np, "valid": valid_np, **extra},
         )
         log.log("frame", index=res.index, decode_s=res.decode_s,
-                valid_fraction=float(np.asarray(res.output.valid).mean()))
+                valid_fraction=float(valid_np.mean()))
         count += 1
     wall = time.perf_counter() - t0
     summary = {"frames": count, "wall_s": round(wall, 3),
@@ -572,6 +597,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=8,
                    help="frame sets per device program (lax.map batch; "
                         "amortizes per-dispatch transport latency)")
+    p.add_argument("--temporal", action="store_true",
+                   help="recursive temporal filter across frame sets "
+                        "(confidence-weighted; adds a stability map)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("evaluate", help="compare a result artifact vs ground truth")

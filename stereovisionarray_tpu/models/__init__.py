@@ -28,7 +28,16 @@ from stereovisionarray_tpu.models.fusion import (  # noqa: F401
 )
 from stereovisionarray_tpu.models.serving import (  # noqa: F401
     FrameResult,
+    TemporalFrameResult,
     frame_sets_from_dirs,
     stream_depth_maps,
     stream_depth_maps_chunked,
+    stream_temporal,
+)
+from stereovisionarray_tpu.models.temporal import (  # noqa: F401
+    TemporalOutput,
+    TemporalState,
+    temporal_filter_sequence,
+    temporal_init,
+    temporal_update,
 )

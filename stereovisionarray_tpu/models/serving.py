@@ -34,8 +34,10 @@ from stereovisionarray_tpu.parallel.streaming import StreamExecutor
 
 __all__ = [
     "FrameResult",
+    "TemporalFrameResult",
     "stream_depth_maps",
     "stream_depth_maps_chunked",
+    "stream_temporal",
     "frame_sets_from_dirs",
 ]
 
@@ -107,6 +109,55 @@ def stream_depth_maps(
 
     for i, out in enumerate(executor.run(frames_only())):
         yield FrameResult(index=i, output=out, decode_s=decode_times[i])
+
+
+class TemporalFrameResult(NamedTuple):
+    index: int
+    output: ArrayPipelineOutput  # the raw per-frame pipeline result
+    temporal: "TemporalOutput"  # filtered disparity/valid/stability maps
+    depth: jnp.ndarray  # (H, W) depth of the FILTERED disparity
+    decode_s: float
+
+
+def stream_temporal(
+    results: Iterable[FrameResult],
+    baseline: float,
+    focal_px: float,
+    *,
+    max_diff: float = 1.0,
+    max_weight: float = 8.0,
+    max_hole_age: int = 3,
+) -> Iterator[TemporalFrameResult]:
+    """Wrap a :func:`stream_depth_maps`/``_chunked`` result stream with the
+    recursive temporal filter (``models/temporal.py``): disparity noise
+    averages down across frames of a static scene, moving content resets in
+    one frame, and short measurement holes coast. Confidence-weighted via
+    the plane sweep's PKRN map. ``baseline``/``focal_px`` convert the
+    filtered disparity back to depth (``array_baselines`` B0 and the rig's
+    fx)."""
+    from stereovisionarray_tpu.models.temporal import temporal_init, temporal_update
+    from stereovisionarray_tpu.models.two_view import disparity_to_depth
+
+    state = None
+    for fr in results:
+        out = fr.output
+        disp = out.refined_disparity
+        if state is None:
+            state = temporal_init(disp.shape)
+        state, tout = temporal_update(
+            state, disp, out.valid, out.sweep.confidence,
+            max_diff=max_diff, max_weight=max_weight,
+            max_hole_age=max_hole_age,
+        )
+        depth = jnp.where(
+            tout.valid,
+            disparity_to_depth(tout.disparity, baseline, focal_px),
+            0.0,
+        )
+        yield TemporalFrameResult(
+            index=fr.index, output=out, temporal=tout, depth=depth,
+            decode_s=fr.decode_s,
+        )
 
 
 def stream_depth_maps_chunked(

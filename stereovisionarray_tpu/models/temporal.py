@@ -1,0 +1,155 @@
+"""Temporal stereo: confidence-weighted recursive filtering of a disparity
+video stream from a fixed rig.
+
+The reference processes a single captured frame-set; a serving deployment of
+the same rig (``models/serving.py``) sees a *stream*, and per-frame depth is
+temporally noisy: matching noise decorrelates across frames while the scene
+mostly persists. This module adds the standard production treatment —
+a per-pixel recursive (running weighted average) filter with a consistency
+gate and bounded hole persistence:
+
+  - AGREE (|d_t - d_state| <= max_diff): blend, accumulating evidence
+    weight (errors average down ~1/sqrt(n) while the surface holds still);
+  - MOVE (valid but inconsistent): reset to the new measurement — no
+    ghosting on moving content, latency of exactly one frame;
+  - HOLE (current pixel invalid): hold the last stable value for up to
+    ``max_hole_age`` frames with decaying weight, then drop it.
+
+Everything is functional and jittable: state in, state out — so the filter
+runs per frame inside the serving loop (one ``temporal_update`` per
+dispatch) or over a whole batch with ``lax.scan``
+(:func:`temporal_filter_sequence`). Weights ride the PKRN confidence maps
+(``ops/confidence.py``) so ambiguous matches contribute less evidence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
+
+
+class TemporalState(NamedTuple):
+    """Per-pixel recursive filter state (all (H, W))."""
+
+    disparity: jnp.ndarray  # filtered disparity (INVALID where empty)
+    weight: jnp.ndarray  # accumulated evidence weight (0 where empty)
+    age: jnp.ndarray  # int32 frames since last direct measurement
+
+
+class TemporalOutput(NamedTuple):
+    disparity: jnp.ndarray  # (H, W) filtered disparity
+    valid: jnp.ndarray  # (H, W) bool
+    stability: jnp.ndarray  # (H, W) evidence weight / max_weight in [0, 1]
+
+
+def temporal_init(shape: Tuple[int, int]) -> TemporalState:
+    """Empty state for an (H, W) stream."""
+    return TemporalState(
+        disparity=jnp.full(shape, INVALID_DISPARITY, jnp.float32),
+        weight=jnp.zeros(shape, jnp.float32),
+        age=jnp.zeros(shape, jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_diff", "max_weight", "max_hole_age")
+)
+def temporal_update(
+    state: TemporalState,
+    disparity: jnp.ndarray,
+    valid: jnp.ndarray,
+    confidence: Optional[jnp.ndarray] = None,
+    *,
+    max_diff: float = 1.0,
+    max_weight: float = 8.0,
+    max_hole_age: int = 3,
+) -> Tuple[TemporalState, TemporalOutput]:
+    """One recursive-filter step.
+
+    Args:
+      state: previous :class:`TemporalState` (or :func:`temporal_init`).
+      disparity/valid: the new frame's measurement (``TwoViewOutput`` /
+        ``PlaneSweepOutput`` fields).
+      confidence: optional (H, W) in [0, 1] — per-measurement evidence
+        weight (PKRN); defaults to 1 everywhere.
+      max_diff: consistency gate in disparity px; a valid measurement
+        farther than this from the state RESETS the pixel (motion).
+      max_weight: evidence saturation — bounds the filter's time constant
+        so it keeps adapting (EMA with alpha >= c/(max_weight + c)).
+      max_hole_age: frames an unmeasured pixel coasts before dropping out.
+
+    Returns (new_state, output)."""
+    disparity = disparity.astype(jnp.float32)
+    c = (jnp.ones_like(disparity) if confidence is None
+         else confidence.astype(jnp.float32))
+    c = jnp.where(valid, jnp.maximum(c, 1e-3), 0.0)
+
+    has_state = state.weight > 0.0
+    agree = valid & has_state & (
+        jnp.abs(disparity - state.disparity) <= max_diff
+    )
+    reset = valid & ~agree  # fresh pixel or moving content
+    hole = ~valid & has_state & (state.age < max_hole_age)
+
+    w_prev = state.weight
+    # AGREE: running weighted mean with saturating weight
+    w_blend = w_prev + c
+    d_blend = (w_prev * state.disparity + c * disparity) / jnp.maximum(
+        w_blend, 1e-9
+    )
+    new_d = jnp.where(agree, d_blend,
+                      jnp.where(reset, disparity, state.disparity))
+    new_w = jnp.where(
+        agree, jnp.minimum(w_blend, max_weight),
+        jnp.where(reset, c, jnp.where(hole, w_prev * 0.5, 0.0)),
+    )
+    new_age = jnp.where(valid, 0, jnp.where(hole, state.age + 1, 0))
+    out_valid = valid | hole
+    new_d = jnp.where(new_w > 0.0, new_d, INVALID_DISPARITY)
+
+    new_state = TemporalState(disparity=new_d, weight=new_w, age=new_age)
+    out = TemporalOutput(
+        disparity=jnp.where(out_valid, new_d, INVALID_DISPARITY),
+        valid=out_valid,
+        stability=jnp.clip(new_w / max_weight, 0.0, 1.0),
+    )
+    return new_state, out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_diff", "max_weight", "max_hole_age")
+)
+def temporal_filter_sequence(
+    disparities: jnp.ndarray,
+    valids: jnp.ndarray,
+    confidences: Optional[jnp.ndarray] = None,
+    *,
+    max_diff: float = 1.0,
+    max_weight: float = 8.0,
+    max_hole_age: int = 3,
+) -> TemporalOutput:
+    """Filter a whole (T, H, W) sequence with ``lax.scan`` (offline batch
+    form of :func:`temporal_update`). Returns stacked (T, H, W) outputs."""
+    t, h, w = disparities.shape
+
+    def step(state, frame):
+        d, v, c = frame
+        return temporal_update(
+            state, d, v, c,
+            max_diff=max_diff, max_weight=max_weight,
+            max_hole_age=max_hole_age,
+        )
+
+    conf = (jnp.ones_like(disparities) if confidences is None
+            else confidences.astype(jnp.float32))
+    _, outs = lax.scan(
+        step, temporal_init((h, w)),
+        (disparities.astype(jnp.float32), valids, conf),
+    )
+    return outs

@@ -53,6 +53,35 @@ def test_stream_results_in_order_and_accurate(setup):
         assert r.decode_s >= 0.0
 
 
+def test_stream_temporal_wraps_and_converges(setup):
+    """stream_temporal: same static scene streamed 3x -> filtered stream
+    stays in order, stability grows, filtered depth stays accurate."""
+    from stereovisionarray_tpu.models import array_baselines, stream_temporal
+    from stereovisionarray_tpu.geometry.topology import PairTopology, camera_pairs
+
+    cams, cfg, frames, gts = setup
+    static = [frames[0]] * 3  # one scene, repeated (noise-free renders)
+    pairs = camera_pairs(PairTopology(cfg.plane_sweep.topology),
+                         rows=3, cols=3, center=4)
+    src = tuple(int(b) for a, b in pairs if a == 4)
+    _, b0 = array_baselines(cams, 4, src)
+    f_px = float(np.asarray(cams.fx)[4])
+    results = list(stream_temporal(
+        stream_depth_maps(iter(static), cams, cfg, ref_index=4, depth=2),
+        b0, f_px,
+    ))
+    assert [r.index for r in results] == [0, 1, 2]
+    stab = [float(np.asarray(r.temporal.stability).mean()) for r in results]
+    assert stab[0] < stab[1] < stab[2]  # evidence accumulates
+    last = results[-1]
+    valid = np.asarray(last.temporal.valid)
+    inner = np.zeros_like(valid)
+    inner[8:-8, 8:-8] = True
+    sel = valid & inner
+    rerr = (np.abs(np.asarray(last.depth) - gts[0][4]) / gts[0][4])[sel]
+    assert np.median(rerr) < 0.02
+
+
 def test_chunked_stream_matches_per_set_and_orders(setup):
     """stream_depth_maps_chunked (K sets per jitted lax.map dispatch,
     VERDICT r2 item 3): in-order results identical to the per-set path,
