@@ -254,6 +254,19 @@ def cmd_reconstruct(args) -> int:
     # colors: each kept point takes its source view's intensity
     colors = jnp.stack([jnp.asarray(images[v]) for v in views])
     pts, conf, col = fused_point_cloud(result, colors)
+    raw_points = int(pts.shape[0])
+    if args.remove_outliers and pts.shape[0]:
+        from stereovisionarray_tpu.geometry import remove_outliers
+
+        keep = remove_outliers(pts, voxel=args.outlier_voxel,
+                               min_neighbors=args.outlier_min_neighbors)
+        pts, conf = pts[keep], conf[keep]
+        col = col[keep] if col is not None else None
+    if args.voxel and pts.shape[0]:
+        from stereovisionarray_tpu.geometry import voxel_downsample
+
+        pts, conf, col = voxel_downsample(pts, args.voxel, weights=conf,
+                                          attributes=col)
     col3 = None
     if col is not None and col.size:
         c8 = np.clip(np.asarray(col), 0, 255).astype(np.uint8)
@@ -267,7 +280,8 @@ def cmd_reconstruct(args) -> int:
                 "confidence": np.asarray(result.confidence),
                 "views": np.asarray(views)},
                metadata={"config": cfg.to_dict()})
-    out = {"points": int(n_pts), "views": list(map(int, views)),
+    out = {"points": int(n_pts), "raw_points": raw_points,
+           "views": list(map(int, views)),
            "mean_support": float(np.asarray(result.support)[np.asarray(result.valid)].mean())
            if n_pts else 0.0,
            "output": args.output}
@@ -566,6 +580,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-confidence", type=float, default=0.0,
                    help="drop pixels below this PKRN matching confidence "
                         "before the consistency vote")
+    p.add_argument("--voxel", type=float, default=0.0,
+                   help="voxel-downsample the fused cloud (cell edge, "
+                        "world units; confidence-weighted centroids)")
+    p.add_argument("--remove-outliers", action="store_true",
+                   help="grid-density outlier removal before export")
+    p.add_argument("--outlier-voxel", type=float, default=0.005,
+                   help="outlier-removal neighbourhood cell size")
+    p.add_argument("--outlier-min-neighbors", type=int, default=3)
     p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
     p.set_defaults(fn=cmd_reconstruct)
 

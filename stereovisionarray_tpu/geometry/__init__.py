@@ -30,3 +30,7 @@ from stereovisionarray_tpu.geometry.rectify import (  # noqa: F401
     rectify_images,
     rectify_pair,
 )
+from stereovisionarray_tpu.geometry.cloudops import (  # noqa: F401
+    remove_outliers,
+    voxel_downsample,
+)
