@@ -127,7 +127,10 @@ def _plane_sweep_program(
         )
         valid = views_at_win >= min_views
         depth = jnp.where(valid, depth, 0.0)
-        return depth, k, cost, valid, views_at_win
+        from stereovisionarray_tpu.ops.confidence import confidence_from_volume
+
+        conf = jnp.where(valid, confidence_from_volume(vol, k_int), 0.0)
+        return depth, k, cost, valid, views_at_win, conf
 
     def _local(imgs: jnp.ndarray, cameras) -> tuple:
         disp_idx = lax.axis_index(AXIS_DISP)
@@ -139,7 +142,7 @@ def _plane_sweep_program(
         _local,
         mesh=mesh,
         in_specs=(spec_in, P()),  # cameras: replicated pytree
-        out_specs=(spec_out,) * 5,
+        out_specs=(spec_out,) * 6,
         check_vma=False,
     )
     return jax.jit(sharded), spec_in
@@ -181,7 +184,8 @@ def sharded_plane_sweep_depth(
     images = jax.device_put(
         images.astype(jnp.float32), NamedSharding(mesh, spec_in)
     )
-    depth, k, cost, valid, nviews = program(images, cameras)
+    depth, k, cost, valid, nviews, conf = program(images, cameras)
     return PlaneSweepOutput(
-        depth=depth, plane=k, cost=cost, valid=valid, num_views=nviews
+        depth=depth, plane=k, cost=cost, valid=valid, num_views=nviews,
+        confidence=conf,
     )

@@ -358,6 +358,16 @@ class TestShardedPlaneSweep:
             assert (rel < 0.02).mean() > 0.97, f"close frac {(rel < 0.02).mean()}"
             agree = (np.asarray(out.valid[i]) == np.asarray(ref.valid)).mean()
             assert agree > 0.98, f"valid agreement {agree}"
+            # confidence rides through shard_map and tracks the unsharded
+            # field (same PKRN definition; psum reorders f32 sums slightly)
+            c_sh = np.asarray(out.confidence[i])
+            c_ref = np.asarray(ref.confidence)
+            cd = np.abs(c_sh - c_ref)[both]
+            # psum reorders the f32 path sums; PKRN divides two such sums,
+            # so the tolerance is looser than the depth field's
+            assert np.median(cd) < 0.01, f"median conf diff {np.median(cd)}"
+            assert np.percentile(cd, 90) < 0.05
+            assert (c_sh[~np.asarray(out.valid[i])] == 0.0).all()
 
     def test_pallas_sweep_kernel_under_shard_map(self, rng):
         """The fused MXU sweep kernel (translation-only gate) must compile
