@@ -324,8 +324,9 @@ def cmd_two_view(args) -> int:
         save_png(os.path.join(args.output, "depth.png"), np.asarray(out.depth))
     if out.confidence is not None:
         payload["confidence"] = np.asarray(out.confidence)
+        # absolute [0, 1] scale so confidence PNGs compare across runs
         save_png(os.path.join(args.output, "confidence.png"),
-                 np.asarray(out.confidence) * 255.0)
+                 np.asarray(out.confidence), vmin=0.0, vmax=1.0)
     save_array(os.path.join(args.output, "two_view.npz"), payload,
                metadata={"config": cfg.to_dict()})
     report = {"valid_fraction": float(np.asarray(out.valid).mean()),
@@ -402,27 +403,22 @@ def cmd_serve(args) -> int:
         )
     cams = _rig_from_config(cfg, (h, w))
 
+    temporal = None
+    if args.temporal:
+        # fused path: the filter scans INSIDE the chunked device program
+        from stereovisionarray_tpu.models import array_baselines
+        from stereovisionarray_tpu.models.array_pipeline import reference_and_sources
+        from stereovisionarray_tpu.models.serving import TemporalParams
+
+        ref_index, src = reference_and_sources(cfg, n, args.ref_index)
+        _, b0 = array_baselines(cams, ref_index, src)
+        f_px = float(np.broadcast_to(np.asarray(cams.fx), (n,))[ref_index])
+        temporal = TemporalParams(baseline=b0, focal_px=f_px)
     stream = stream_depth_maps_chunked(
         frame_sets_from_dirs(dirs, half_res=args.half_res),
         cams, cfg, ref_index=args.ref_index, use_roi=args.roi,
-        depth=args.prefetch, chunk=args.chunk,
+        depth=args.prefetch, chunk=args.chunk, temporal=temporal,
     )
-    if args.temporal:
-        from stereovisionarray_tpu.geometry.topology import PairTopology, camera_pairs
-        from stereovisionarray_tpu.models import array_baselines
-        from stereovisionarray_tpu.models.serving import stream_temporal
-
-        ref_index = args.ref_index
-        if ref_index is None:
-            ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
-        pairs = camera_pairs(PairTopology(cfg.plane_sweep.topology),
-                             rows=cfg.camera.rows, cols=cfg.camera.cols,
-                             center=ref_index)
-        src = tuple(int(b) for a, b in pairs if a == ref_index) or tuple(
-            int(b) for _, b in pairs)
-        _, b0 = array_baselines(cams, ref_index, src)
-        f_px = float(np.broadcast_to(np.asarray(cams.fx), (n,))[ref_index])
-        stream = stream_temporal(stream, b0, f_px)
 
     t0 = time.perf_counter()
     count = 0

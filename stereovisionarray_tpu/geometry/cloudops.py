@@ -72,17 +72,24 @@ def voxel_downsample(
     gid = np.cumsum(group_start) - 1  # (N,) group index per sorted point
     m = int(gid[-1]) + 1
     w_s = w[order]
-    wsum = np.zeros(m)
-    np.add.at(wsum, gid, w_s)
-    cent = np.zeros((m, 3))
-    np.add.at(cent, gid, points[order] * w_s[:, None])
+    # bincount over the dense group ids: ~10x np.add.at on large clouds
+    wsum = np.bincount(gid, weights=w_s, minlength=m)
+    pw = points[order] * w_s[:, None]
+    cent = np.stack(
+        [np.bincount(gid, weights=pw[:, c], minlength=m) for c in range(3)],
+        axis=-1,
+    )
     cent /= np.maximum(wsum, 1e-12)[:, None]
     out_attr = None
     if attributes is not None:
         a = np.asarray(attributes, np.float64)[order]
         a2 = a[:, None] if a.ndim == 1 else a
-        acc = np.zeros((m, a2.shape[1]))
-        np.add.at(acc, gid, a2 * w_s[:, None])
+        aw = a2 * w_s[:, None]
+        acc = np.stack(
+            [np.bincount(gid, weights=aw[:, c], minlength=m)
+             for c in range(a2.shape[1])],
+            axis=-1,
+        )
         acc /= np.maximum(wsum, 1e-12)[:, None]
         out_attr = acc[:, 0] if a.ndim == 1 else acc
         out_attr = out_attr.astype(np.float32)

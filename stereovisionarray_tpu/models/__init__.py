@@ -29,6 +29,7 @@ from stereovisionarray_tpu.models.fusion import (  # noqa: F401
 from stereovisionarray_tpu.models.serving import (  # noqa: F401
     FrameResult,
     TemporalFrameResult,
+    TemporalParams,
     frame_sets_from_dirs,
     stream_depth_maps,
     stream_depth_maps_chunked,

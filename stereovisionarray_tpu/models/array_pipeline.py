@@ -117,6 +117,28 @@ def array_baselines(
     return scaled.astype(np.float32), b0
 
 
+def reference_and_sources(cfg: EngineConfig, n: int,
+                          ref_index: Optional[int] = None
+                          ) -> Tuple[int, Tuple[int, ...]]:
+    """Resolve the reference view (grid center by default — the reference's
+    camera 12, ``/root/reference/src/functions.cpp:150``) and its source
+    views under cfg.plane_sweep.topology. The single source of truth for
+    this selection — the CLI and serving layers must use it rather than
+    re-deriving (a divergent copy silently mis-scales disparity/depth
+    conversions downstream)."""
+    if ref_index is None:
+        ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
+        if ref_index >= n:
+            ref_index = n // 2
+    topo = PairTopology(cfg.plane_sweep.topology)
+    pairs = camera_pairs(topo, rows=cfg.camera.rows, cols=cfg.camera.cols,
+                         center=ref_index)
+    src = tuple(int(b) for a, b in pairs if a == ref_index) or tuple(
+        int(b) for _, b in pairs
+    )
+    return int(ref_index), src
+
+
 def array_depth_pipeline(
     images: jnp.ndarray,
     cameras: CameraArray,
@@ -143,16 +165,7 @@ def array_depth_pipeline(
         equivalent); "otsu" = foreground ellipse only.
     """
     n, h, w = images.shape
-    if ref_index is None:
-        ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
-        if ref_index >= n:
-            ref_index = n // 2
-
-    topo = PairTopology(cfg.plane_sweep.topology)
-    pairs = camera_pairs(topo, rows=cfg.camera.rows, cols=cfg.camera.cols, center=ref_index)
-    src_indices = tuple(int(b) for a, b in pairs if a == ref_index) or tuple(
-        int(b) for _, b in pairs
-    )
+    ref_index, src_indices = reference_and_sources(cfg, n, ref_index)
 
     if mask is None:
         if use_roi and roi_mode == "face":

@@ -104,48 +104,62 @@ def fuse_depth_maps(
     # backproject every view's pixels once: (N, P, 3) world points
     pts = cameras.backproject(jnp.broadcast_to(uv, (n, p, 2)), dflat)
 
-    validf = vflat.astype(f32).reshape(n, h, w)
     depth_maps = dflat.reshape(n, h, w)
     iidx = jnp.arange(n, dtype=jnp.int32)[:, None]  # (N, 1) source view ids
 
-    def one_view(carry, j):
-        support, depth_sum, first_j = carry
-        cam_j = cameras[j]
-        # project ALL views' points into view j: (N, P)
-        uv_ij, z_ij = cam_j.project(pts)
-        dj, inb = bilinear_sample(depth_maps[j], uv_ij, fill=0.0)
-        vj, _ = bilinear_sample(validf[j], uv_ij, fill=0.0)
-        agree = (
-            inb
-            & (z_ij > min_depth)
-            & (dj > min_depth)
-            & (vj > 0.99)
-            & (jnp.abs(dj - z_ij) <= rel_thresh * z_ij)
+    def sweep(validf):
+        """One pass over source views j: per (view i, pixel) — count of
+        OTHER agreeing views, sum of their reprojected depth estimates, and
+        the smallest agreeing view index. ``validf`` (N, H, W) float gates
+        which of view j's pixels may vouch (bilinear > 0.99)."""
+
+        def one_view(carry, j):
+            support, depth_sum, first_j = carry
+            cam_j = cameras[j]
+            # project ALL views' points into view j: (N, P)
+            uv_ij, z_ij = cam_j.project(pts)
+            dj, inb = bilinear_sample(depth_maps[j], uv_ij, fill=0.0)
+            vj, _ = bilinear_sample(validf[j], uv_ij, fill=0.0)
+            agree = (
+                inb
+                & (z_ij > min_depth)
+                & (dj > min_depth)
+                & (vj > 0.99)
+                & (jnp.abs(dj - z_ij) <= rel_thresh * z_ij)
+            )
+            other = agree & (iidx != j)  # self-agreement counted separately
+            # view j's depth estimate for view i's pixel, in camera i:
+            # backproject (uv_ij, dj) through camera j, read its z in cam i.
+            pj = cam_j.backproject(uv_ij, dj)
+            z_back = cameras.world_to_cam(pj)[..., 2]
+            support = support + other.astype(jnp.int32)
+            depth_sum = depth_sum + jnp.where(other, z_back, 0.0)
+            first_j = jnp.minimum(first_j, jnp.where(other, j, n))
+            return (support, depth_sum, first_j), None
+
+        init = (
+            jnp.zeros((n, p), jnp.int32),
+            jnp.zeros((n, p), f32),
+            jnp.full((n, p), n, jnp.int32),
         )
-        other = agree & (iidx != j)  # self-agreement counted separately
-        # view j's depth estimate for view i's pixel, expressed in camera i:
-        # backproject (uv_ij, dj) through camera j, read its z in camera i.
-        pj = cam_j.backproject(uv_ij, dj)
-        z_back = cameras.world_to_cam(pj)[..., 2]
-        support = support + other.astype(jnp.int32)
-        depth_sum = depth_sum + jnp.where(other, z_back, 0.0)
-        first_j = jnp.minimum(first_j, jnp.where(other, j, n))
-        return (support, depth_sum, first_j), None
+        (support, depth_sum, first_j), _ = lax.scan(
+            one_view, init, jnp.arange(n, dtype=jnp.int32)
+        )
+        return support, depth_sum, first_j
 
-    init = (
-        jnp.zeros((n, p), jnp.int32),
-        jnp.zeros((n, p), f32),
-        jnp.full((n, p), n, jnp.int32),
-    )
-    (support, depth_sum, first_j), _ = lax.scan(
-        one_view, init, jnp.arange(n, dtype=jnp.int32)
-    )
-
+    support, depth_sum, _ = sweep(vflat.astype(f32).reshape(n, h, w))
     support_total = support + 1  # include self
     keep = vflat & (support_total >= min_support)
     if dedup:
-        # first-view-wins: the lowest-indexed agreeing view owns the point
-        # (that view holds a valid, agreeing depth there by construction).
+        # first-QUALIFIED-view-wins: ownership is decided among views that
+        # themselves pass the support test, so the owner provably keeps its
+        # point. (Deciding against ALL valid views instead can orphan a
+        # surface patch entirely: an earlier view may vouch for everyone at
+        # the reprojected locations yet fail min_support at its own pixel —
+        # asymmetric agreement near borders/occlusions — dropping the point
+        # from every view at once.)
+        qualified = keep.astype(f32).reshape(n, h, w)
+        _, _, first_j = sweep(qualified)
         keep = keep & (first_j >= iidx)
     if average:
         fused = (dflat + depth_sum) / support_total.astype(f32)

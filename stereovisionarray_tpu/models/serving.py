@@ -35,6 +35,7 @@ from stereovisionarray_tpu.parallel.streaming import StreamExecutor
 __all__ = [
     "FrameResult",
     "TemporalFrameResult",
+    "TemporalParams",
     "stream_depth_maps",
     "stream_depth_maps_chunked",
     "stream_temporal",
@@ -119,6 +120,16 @@ class TemporalFrameResult(NamedTuple):
     decode_s: float
 
 
+class TemporalParams(NamedTuple):
+    """Temporal-filter settings for the serving loop (``models/temporal.py``)."""
+
+    baseline: float  # metric baseline B0 (``array_baselines``) for depth
+    focal_px: float  # reference view's fx
+    max_diff: float = 1.0
+    max_weight: float = 8.0
+    max_hole_age: int = 3
+
+
 def stream_temporal(
     results: Iterable[FrameResult],
     baseline: float,
@@ -134,7 +145,14 @@ def stream_temporal(
     one frame, and short measurement holes coast. Confidence-weighted via
     the plane sweep's PKRN map. ``baseline``/``focal_px`` convert the
     filtered disparity back to depth (``array_baselines`` B0 and the rig's
-    fx)."""
+    fx).
+
+    DISPATCH COST: this wrapper issues one extra ``temporal_update``
+    dispatch per frame on the host side. On thin links (the remote-TPU
+    tunnel: ~15-25 ms/dispatch) that gives back part of the chunked path's
+    amortization — prefer ``stream_depth_maps_chunked(temporal=
+    TemporalParams(...))``, which scans the filter INSIDE the chunked
+    device program (zero extra dispatches)."""
     from stereovisionarray_tpu.models.temporal import temporal_init, temporal_update
     from stereovisionarray_tpu.models.two_view import disparity_to_depth
 
@@ -169,8 +187,15 @@ def stream_depth_maps_chunked(
     depth: int = 2,
     chunk: int = 8,
     transfer_dtype: Optional[np.dtype] = None,
+    temporal: Optional[TemporalParams] = None,
 ) -> Iterator[FrameResult]:
     """:func:`stream_depth_maps` with K frame sets per device program.
+
+    temporal: when given, the recursive temporal filter runs as a
+    ``lax.scan`` over the K sets INSIDE the chunked device program (state
+    carried across chunks host-side as an async JAX value — no extra
+    dispatches, no pipeline stall), yielding
+    :class:`TemporalFrameResult` instead of :class:`FrameResult`.
 
     One jitted dispatch runs ``lax.map`` over a (K, N, H, W) chunk —
     per-dispatch transport latency (the dominant cost on thin links such
@@ -186,21 +211,73 @@ def stream_depth_maps_chunked(
     per invocation with GUI waits inside the loop
     (``/root/reference/src/functions.cpp:42-43``)."""
     if chunk <= 1:
-        yield from stream_depth_maps(
+        base = stream_depth_maps(
             frame_sets, cameras, cfg, ref_index=ref_index, use_roi=use_roi,
             depth=depth, transfer_dtype=transfer_dtype,
         )
+        if temporal is None:
+            yield from base
+        else:
+            yield from stream_temporal(
+                base, temporal.baseline, temporal.focal_px,
+                max_diff=temporal.max_diff, max_weight=temporal.max_weight,
+                max_hole_age=temporal.max_hole_age,
+            )
         return
 
-    @jax.jit
-    def step(stack_dev):
-        def one(images):
-            return array_depth_pipeline(
-                images.astype(jnp.float32), cameras, cfg,
-                ref_index=ref_index, use_roi=use_roi,
-            )
+    def one(images):
+        return array_depth_pipeline(
+            images.astype(jnp.float32), cameras, cfg,
+            ref_index=ref_index, use_roi=use_roi,
+        )
 
-        return jax.lax.map(one, stack_dev)
+    if temporal is None:
+        @jax.jit
+        def step(stack_dev):
+            return jax.lax.map(one, stack_dev)
+    else:
+        from stereovisionarray_tpu.models.temporal import (
+            temporal_init,
+            temporal_update,
+        )
+        from stereovisionarray_tpu.models.two_view import disparity_to_depth
+
+        @jax.jit
+        def step_t(stack_dev, state):
+            outs = jax.lax.map(one, stack_dev)
+
+            def scan_step(st, kout):
+                st2, tout = temporal_update(
+                    st, kout.refined_disparity, kout.valid,
+                    kout.sweep.confidence,
+                    max_diff=temporal.max_diff,
+                    max_weight=temporal.max_weight,
+                    max_hole_age=temporal.max_hole_age,
+                )
+                depth_k = jnp.where(
+                    tout.valid,
+                    disparity_to_depth(tout.disparity, temporal.baseline,
+                                       temporal.focal_px),
+                    0.0,
+                )
+                return st2, (tout, depth_k)
+
+            state2, (touts, depths) = jax.lax.scan(scan_step, state, outs)
+            return outs, touts, depths, state2
+
+        # the carry threads across chunks through this box; step() is only
+        # ever called from StreamExecutor.run's single loop (serial,
+        # submission order) and the state is an async JAX value, so the
+        # chunk-to-chunk dependency costs no host sync
+        state_box = {}
+
+        def step(stack_dev):
+            if "s" not in state_box:
+                state_box["s"] = temporal_init(stack_dev.shape[-2:])
+            outs, touts, depths, state_box["s"] = step_t(
+                stack_dev, state_box["s"]
+            )
+            return outs, touts, depths
 
     executor = StreamExecutor(step, depth=depth)
     meta: List[Tuple[int, List[float]]] = []  # (real sets, decode times)
@@ -227,6 +304,17 @@ def stream_depth_maps_chunked(
     for ci, out in enumerate(executor.run(chunks())):
         n_real, times = meta[ci]
         for k in range(n_real):
-            res = jax.tree_util.tree_map(lambda x, k=k: x[k], out)
-            yield FrameResult(index=idx, output=res, decode_s=times[k])
+            if temporal is None:
+                res = jax.tree_util.tree_map(lambda x, k=k: x[k], out)
+                yield FrameResult(index=idx, output=res, decode_s=times[k])
+            else:
+                outs, touts, depths = out
+                pick = lambda x, k=k: x[k]
+                yield TemporalFrameResult(
+                    index=idx,
+                    output=jax.tree_util.tree_map(pick, outs),
+                    temporal=jax.tree_util.tree_map(pick, touts),
+                    depth=depths[k],
+                    decode_s=times[k],
+                )
             idx += 1

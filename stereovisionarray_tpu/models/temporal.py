@@ -1,10 +1,12 @@
 """Temporal stereo: confidence-weighted recursive filtering of a disparity
 video stream from a fixed rig.
 
-The reference processes a single captured frame-set; a serving deployment of
-the same rig (``models/serving.py``) sees a *stream*, and per-frame depth is
-temporally noisy: matching noise decorrelates across frames while the scene
-mostly persists. This module adds the standard production treatment —
+The reference processes a single captured frame-set per run and blocks on
+GUI waits between views (``/root/reference/src/CameraStereoVision.cpp:10-123``,
+``/root/reference/src/functions.cpp:42-43``) — it has no stream concept at
+all. A serving deployment of the same rig (``models/serving.py``) sees a
+*stream*, and per-frame depth is temporally noisy: matching noise
+decorrelates across frames while the scene mostly persists. This module adds the standard production treatment —
 a per-pixel recursive (running weighted average) filter with a consistency
 gate and bounded hole persistence:
 
