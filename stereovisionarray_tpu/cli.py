@@ -170,8 +170,16 @@ def cmd_depth(args) -> int:
             f"fix with --set camera.rows=R --set camera.cols=C"
         )
     cams = _rig_from_config(cfg, (h, w))
+    images = jnp.asarray(images)
+    if args.undistort:
+        from stereovisionarray_tpu.geometry import Distortion, undistort_image
+
+        dist = Distortion(*args.undistort)
+        images = jnp.stack([
+            undistort_image(images[i], cams[i], dist)[0] for i in range(n)
+        ])
     out = array_depth_pipeline(
-        jnp.asarray(images), cams, cfg, ref_index=args.ref_index,
+        images, cams, cfg, ref_index=args.ref_index,
         use_roi=args.roi,
     )
 
@@ -557,6 +565,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--roi", action="store_true", help="gate with detected face ROI")
     p.add_argument("--half-res", action="store_true",
                    help="0.5x ingest decimation (the reference default)")
+    p.add_argument("--undistort", type=float, nargs="*", default=None,
+                   metavar="K", help="Brown-Conrady k1 k2 [p1 p2]: "
+                   "undistort captures onto the ideal pinhole grid at ingest")
     p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
     _add_probe(p)
     p.set_defaults(fn=cmd_depth)

@@ -34,3 +34,10 @@ from stereovisionarray_tpu.geometry.cloudops import (  # noqa: F401
     remove_outliers,
     voxel_downsample,
 )
+from stereovisionarray_tpu.geometry.distortion import (  # noqa: F401
+    Distortion,
+    distort_image,
+    distort_points,
+    undistort_image,
+    undistort_points,
+)
