@@ -37,3 +37,6 @@ from stereovisionarray_tpu.parallel.streaming import (  # noqa: F401
     StreamExecutor,
     throughput_stream,
 )
+from stereovisionarray_tpu.parallel.fusion import (  # noqa: F401
+    sharded_fuse_depth_maps,
+)

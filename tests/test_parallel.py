@@ -310,6 +310,48 @@ class TestShardedTwoView:
         assert np.abs(d[sel] - d_true).mean() < 0.5
 
 
+class TestShardedFusion:
+    """sharded_fuse_depth_maps: view-axis data parallelism over the mesh
+    must reproduce the single-device fusion bit-for-bit (P1 applied to the
+    fusion subsystem), including ragged padding."""
+
+    @pytest.mark.parametrize("n_views,mesh_shape", [(8, (8, 1, 1)),
+                                                    (9, (4, 2, 1)),
+                                                    (9, (8, 1, 1))])
+    def test_matches_single_device(self, n_views, mesh_shape):
+        from stereovisionarray_tpu.datasets import (
+            SceneSpec,
+            reference_rig,
+            render_camera_array,
+        )
+        from stereovisionarray_tpu.models.fusion import fuse_depth_maps
+        from stereovisionarray_tpu.parallel.fusion import sharded_fuse_depth_maps
+
+        res = (32, 48)
+        cams = reference_rig(rows=3, cols=3, spacing=0.05, resolution=res)
+        _, depths = render_camera_array(cams, res, SceneSpec())
+        cams = cams[jnp.arange(n_views)]
+        depths = jnp.asarray(depths[:n_views])
+        # knock out a corner of one view so validity paths are exercised
+        valid = jnp.ones(depths.shape, bool).at[2, :8, :8].set(False)
+        mesh = make_mesh(*mesh_shape)
+        for dedup in (True, False):
+            want = fuse_depth_maps(cams, depths, valid=valid,
+                                   rel_thresh=0.01, min_support=3,
+                                   dedup=dedup)
+            got = sharded_fuse_depth_maps(cams, depths, mesh, valid=valid,
+                                          rel_thresh=0.01, min_support=3,
+                                          dedup=dedup)
+            np.testing.assert_array_equal(np.asarray(got.valid),
+                                          np.asarray(want.valid))
+            np.testing.assert_array_equal(np.asarray(got.support),
+                                          np.asarray(want.support))
+            np.testing.assert_allclose(np.asarray(got.depth),
+                                       np.asarray(want.depth), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(got.confidence),
+                                       np.asarray(want.confidence), atol=1e-6)
+
+
 class TestShardedPlaneSweep:
     def _setup(self, rng, b=2):
         from stereovisionarray_tpu.config import PlaneSweepConfig
