@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +49,7 @@ class CalibrationResult(NamedTuple):
     inlier_reproj: jnp.ndarray  # scalar: mean error over inliers (px)
     inlier_threshold_px: jnp.ndarray  # the inlier cut actually applied
     outlier_fraction: jnp.ndarray  # fraction of used obs past the cut
+    distortion: Optional[tuple] = None  # (k1, k2) when estimate_distortion
 
 
 @functools.partial(jax.jit, static_argnames=("ref_index", "cfg"))
@@ -104,8 +106,121 @@ def build_tracks(
     return obs_uv, obs_ok
 
 
+def _radial_from_vertical_parallax(obs_uv, obs_ok, cameras, iterations=2):
+    """Closed-form (k1, k2) from the perpendicular-to-baseline component of
+    matched observations (translation-only rigs).
+
+    For R = I, shared-intrinsics cameras, the ideal flow between views i, j
+    is ``(C_j - C_i)_xy / depth`` — parallel to the baseline for ANY scene.
+    The perpendicular component of the OBSERVED (distorted) flow is then
+    pure lens signal:  e = n . (delta(x_i) - delta(x_j)), with
+    delta(x) = x (k1 r^2 + k2 r^4) — linear in (k1, k2). Free structure
+    cannot absorb it (unlike the radial residual after BA, which it absorbs
+    almost exactly on narrow-baseline arrays — measured).
+
+    obs_uv: (N, F, 2) pixel observations; obs_ok: (N, F); cameras: the (N,)
+    rig (intrinsics + centers trusted to first order). Returns (k1, k2)."""
+    n_views = obs_uv.shape[0]
+    c = jnp.stack([cameras.cx, cameras.cy], axis=-1)[:, None, :]  # (N,1,2)
+    f = jnp.stack([cameras.fx, cameras.fy], axis=-1)[:, None, :]
+    xn_d = (obs_uv - c) / f  # (N, F, 2) distorted normalized coords
+
+    ii, jj = np.triu_indices(n_views, k=1)
+    ii = jnp.asarray(ii)
+    jj = jnp.asarray(jj)
+    ok_pair = obs_ok[ii] & obs_ok[jj]  # (P, F)
+    xdi, xdj = xn_d[ii], xn_d[jj]  # (P, F, 2)
+    flow = xdi - xdj
+
+    # baseline direction PER PAIR from the matches themselves (principal
+    # axis of the flow): translation-only flow is parallel to the baseline
+    # for any depth, so the dominant axis IS the baseline — using the
+    # (possibly millimetres-wrong) init centers instead leaks parallel flow
+    # into the perp component at |flow| * sin(angle error), which is orders
+    # of magnitude above the lens parallax (measured: a 5 mm center
+    # perturbation on 50 mm baselines turned the solve into garbage).
+    wf = ok_pair.astype(jnp.float32)[..., None]
+    m_xx = jnp.sum(wf[..., 0] * flow[..., 0] * flow[..., 0], axis=1)
+    m_xy = jnp.sum(wf[..., 0] * flow[..., 0] * flow[..., 1], axis=1)
+    m_yy = jnp.sum(wf[..., 0] * flow[..., 1] * flow[..., 1], axis=1)
+    theta = 0.5 * jnp.arctan2(2.0 * m_xy, m_xx - m_yy)
+    nonzero = (m_xx + m_yy) > 1e-12
+    nperp = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=-1)[:, None, :]
+
+    w_pair = (ok_pair & nonzero[:, None]).astype(jnp.float32)
+    uax = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)[:, None, :]
+    e = jnp.sum(nperp * flow, axis=-1)  # (P, F) raw perp flow
+    s = jnp.sum(uax * flow, axis=-1)  # (P, F) parallel flow magnitude
+    # gross-mismatch guard: true distortion parallax is well under this
+    w_pair = w_pair * (jnp.abs(e) < 0.05)
+
+    def partial_out(v, w):
+        """Remove each pair's best-fit multiple of s from v: the fitted
+        axis is a few degrees off (outlier matches + the distortion
+        parallax itself rotate the principal axis), which leaks parallel
+        flow into e as dtheta_p * s — an order of magnitude above the lens
+        signal. Modelling a per-pair axis-error nuisance dtheta_p and
+        solving it out is exactly this projection."""
+        num = jnp.sum(w * s * v, axis=1, keepdims=True)
+        den = jnp.maximum(jnp.sum(w * s * s, axis=1, keepdims=True), 1e-12)
+        return v - s * (num / den)
+
+    k1 = jnp.zeros((), jnp.float32)
+    k2 = jnp.zeros((), jnp.float32)
+    for _ in range(iterations):
+        from stereovisionarray_tpu.geometry.distortion import (
+            Distortion,
+            undistort_points,
+        )
+
+        xc = undistort_points(xn_d, Distortion(k1=k1, k2=k2))
+        xci, xcj = xc[ii], xc[jj]
+        r2i = jnp.sum(xci * xci, axis=-1, keepdims=True)
+        r2j = jnp.sum(xcj * xcj, axis=-1, keepdims=True)
+        g1 = jnp.sum(nperp * (xci * r2i - xcj * r2j), axis=-1)
+        g2 = jnp.sum(nperp * (xci * r2i ** 2 - xcj * r2j ** 2), axis=-1)
+        # IRLS (tukey on the fit residual): mismatched tracks produce perp
+        # errors orders of magnitude above the true lens parallax and a
+        # plain LSQ chases them (the BA's tukey solves the same problem)
+        for _irls in range(3):
+            resid = e - k1 * g1 - k2 * g2
+            absr = jnp.abs(resid)
+            med = _weighted_median(absr, w_pair)
+            scale = jnp.maximum(1.4826 * med, 1e-6)
+            t = resid / (4.685 * scale)
+            w_t = jnp.where(jnp.abs(t) < 1.0, (1.0 - t * t) ** 2, 0.0)
+            w = w_pair * w_t
+            ep = partial_out(e, w)
+            g1p = partial_out(g1, w)
+            g2p = partial_out(g2, w)
+            a00 = jnp.sum(w * g1p * g1p)
+            a01 = jnp.sum(w * g1p * g2p)
+            a11 = jnp.sum(w * g2p * g2p)
+            b0 = jnp.sum(w * g1p * ep)
+            b1 = jnp.sum(w * g2p * ep)
+            det = a00 * a11 - a01 * a01
+            safe = jnp.abs(det) > 1e-20
+            det_s = jnp.where(safe, det, 1.0)
+            k1 = jnp.where(safe, (b0 * a11 - b1 * a01) / det_s, 0.0)
+            k2 = jnp.where(safe, (b1 * a00 - b0 * a01) / det_s, 0.0)
+    return k1, k2
+
+
+def _weighted_median(x, w):
+    """Median of x over entries with w > 0 (masked entries pushed to +inf,
+    position found from the valid count — static shapes)."""
+    big = jnp.asarray(jnp.inf, x.dtype)
+    xf = jnp.where(w > 0, x, big).reshape(-1)
+    n_valid = jnp.sum((w > 0).astype(jnp.int32))
+    xs = jnp.sort(xf)
+    idx = jnp.clip((n_valid - 1) // 2, 0, xf.shape[0] - 1)
+    return xs[idx]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("ref_index", "cfg", "min_track_views", "rounds")
+    jax.jit,
+    static_argnames=("ref_index", "cfg", "min_track_views", "rounds",
+                     "estimate_distortion"),
 )
 def calibrate_array(
     images: jnp.ndarray,
@@ -114,6 +229,7 @@ def calibrate_array(
     cfg: SfMConfig = SfMConfig(),
     min_track_views: int = 3,
     rounds: int = 2,
+    estimate_distortion: bool = False,
 ) -> CalibrationResult:
     """Full array calibration from images + a coarse pose guess.
 
@@ -124,7 +240,23 @@ def calibrate_array(
     ``rounds`` alternates [triangulate -> BA]: re-triangulating through the
     refined cameras discards the structure bias inherited from the coarse
     initial guess, which widens the convergence basin substantially (a 1 cm
-    init error needs 2 rounds to reach the sub-millimetre optimum)."""
+    init error needs 2 rounds to reach the sub-millimetre optimum).
+
+    estimate_distortion: solve radial distortion (k1, k2) from VERTICAL
+    PARALLAX before any BA (the reference has no distortion concept,
+    ``/root/reference/src/Camera.cpp:15-33``). For this rig class
+    (translation-only, shared intrinsics) the flow between two views is
+    parallel to their baseline for ANY structure, so the
+    perpendicular-to-baseline component of matched observations is pure
+    distortion signal: e = n_ij . (delta(x_i) - delta(x_j)), LINEAR in
+    (k1, k2) — a 2x2 weighted normal solve over all track x view-pair
+    combinations, iterated twice (regressors re-evaluated at corrected
+    coords). Residual-based estimation inside the BA loop measurably has
+    NO signal here: free structure absorbs radial distortion almost
+    exactly on narrow-baseline arrays (blind inlier reprojection stays at
+    0.05 px under k1 = -0.15 while the estimator reads ~0). Observations
+    are undistorted once, then calibration proceeds normally; the result
+    carries (k1, k2)."""
     n_views = images.shape[0]
     obs_uv, obs_ok = build_tracks(images, ref_index, cfg)
     F = obs_uv.shape[1]
@@ -139,10 +271,30 @@ def calibrate_array(
     track_ok = track_views >= min_track_views
     ok_flat0 = ok_flat0 & track_ok[pt_idx]
 
-    # principal-point-centred measurements for BA
+    # per-observation intrinsics (trusted): centring for BA, normalized
+    # coords for the distortion solve
     cx = init_cameras.cx[cam_idx]
     cy = init_cameras.cy[cam_idx]
-    uv_c = uv_flat - jnp.stack([cx, cy], axis=-1)
+    fx = init_cameras.fx[cam_idx]
+    fy = init_cameras.fy[cam_idx]
+    c_vec = jnp.stack([cx, cy], axis=-1)
+    f_vec = jnp.stack([fx, fy], axis=-1)
+
+    uv_work = uv_flat  # undistorted observations (when estimating)
+    k1 = jnp.zeros((), jnp.float32)
+    k2 = jnp.zeros((), jnp.float32)
+    if estimate_distortion:
+        from stereovisionarray_tpu.geometry.distortion import (
+            Distortion,
+            undistort_points,
+        )
+
+        k1, k2 = _radial_from_vertical_parallax(
+            obs_uv, obs_ok, init_cameras
+        )
+        obs_n = (uv_flat - c_vec) / f_vec
+        und = undistort_points(obs_n, Distortion(k1=k1, k2=k2))
+        uv_work = und * f_vec + c_vec
 
     cams = init_cameras
     state: BAState = None
@@ -162,7 +314,8 @@ def calibrate_array(
     metric_px = 3.0 * cfg.huber_delta
     for _ in range(rounds):
         ok_base = ok_flat0 & ok_keep
-        X0, tri_ok = triangulate_midpoint(cams, cam_idx, uv_flat, ok_base, F, pt_idx)
+        uv_c = uv_work - c_vec
+        X0, tri_ok = triangulate_midpoint(cams, cam_idx, uv_work, ok_base, F, pt_idx)
         ok_flat = ok_base & (track_ok & tri_ok)[pt_idx]
         problem = BAProblem(cam_idx=cam_idx, pt_idx=pt_idx, uv=uv_c, valid=ok_flat)
         state = bundle_adjust(
@@ -176,11 +329,11 @@ def calibrate_array(
         )
         cams = state.cameras
         r = reprojection_errors(state.cameras, state.points, cam_idx,
-                                pt_idx, uv_flat)
+                                pt_idx, uv_work)
         err = jnp.linalg.norm(r, axis=-1)
         ok_keep = ok_keep & (err <= reject_px)
 
-    r = reprojection_errors(state.cameras, state.points, cam_idx, pt_idx, uv_flat)
+    r = reprojection_errors(state.cameras, state.points, cam_idx, pt_idx, uv_work)
     err = jnp.linalg.norm(r, axis=-1)
     w = ok_flat.astype(err.dtype)
     mean_reproj = jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -199,4 +352,5 @@ def calibrate_array(
         inlier_reproj=inlier_reproj,
         inlier_threshold_px=jnp.asarray(metric_px, err.dtype),
         outlier_fraction=outlier_fraction,
+        distortion=(k1, k2) if estimate_distortion else None,
     )

@@ -283,3 +283,53 @@ class TestCalibration:
         assert ate1 < 0.0015, f"calibration ATE {ate1}"
         assert ate1 < ate0 / 4
         assert int(out.num_obs) > 500
+
+    def test_distortion_aware_calibration(self):
+        """STRONG lens distortion (k1 = -0.4): the pre-BA vertical-parallax
+        solve recovers k1 and cuts calibration ATE several-fold vs the
+        distortion-blind run. (At MODERATE distortion, free structure
+        absorbs the lens almost exactly — blind calibration is already
+        unhurt there, measured: blind ATE 0.74 mm at k1 = -0.15 vs 0.83 mm
+        clean — so the strong regime is where the estimator earns its
+        keep.) Own rng: margin assertions must not depend on suite order."""
+        from stereovisionarray_tpu.config import SfMConfig
+        from stereovisionarray_tpu.datasets.synthetic import (
+            reference_rig,
+            render_camera_array,
+        )
+        from stereovisionarray_tpu.geometry.distortion import Distortion, distort_image
+        from stereovisionarray_tpu.models.calibration import calibrate_array
+
+        rng = np.random.default_rng(11)
+        res = (180, 240)
+        k_true = Distortion(k1=-0.4, k2=0.03)
+        rig = reference_rig(
+            rows=3, cols=3, spacing=0.05, origin=(-0.05, -0.05), resolution=res
+        )
+        imgs, _ = render_camera_array(rig, res)
+        dimgs = jnp.stack([
+            distort_image(jnp.asarray(imgs[i]), rig[i], k_true)[0]
+            for i in range(len(rig))
+        ])
+        t_bad = np.asarray(rig.t).copy()
+        t_bad[1:] += rng.normal(0, 0.005, t_bad[1:].shape).astype(np.float32)
+        init = make_camera_array(
+            rig.fx, rig.fy, rig.cx, rig.cy, np.asarray(rig.R), t_bad
+        )
+        cfg = SfMConfig(max_features=512, ba_iterations=30, ba_damping=1e-3)
+        blind = calibrate_array(dimgs, init, 4, cfg, rounds=2)
+        aware = calibrate_array(dimgs, init, 4, cfg, rounds=2,
+                                estimate_distortion=True)
+        k1 = float(aware.distortion[0])
+        k2 = float(aware.distortion[1])
+        # k1 recovered; k2 is weakly identifiable at this FOV (it trades
+        # off against k1 — the undistortion PROFILE stays sub-pixel over
+        # the observed radii, which is what the pipeline consumes)
+        assert abs(k1 - k_true.k1) < 0.06, (k1, k2)
+        assert float(aware.inlier_reproj) < 0.7 * float(blind.inlier_reproj)
+        ate_blind = float(absolute_trajectory_error(
+            blind.cameras.centers, rig.centers, align_scale=True))
+        ate_aware = float(absolute_trajectory_error(
+            aware.cameras.centers, rig.centers, align_scale=True))
+        assert ate_aware < 0.5 * ate_blind, (ate_aware, ate_blind)
+        assert ate_aware < 0.001, f"ATE {ate_aware}"
