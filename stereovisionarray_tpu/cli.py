@@ -366,7 +366,8 @@ def cmd_calibrate(args) -> int:
     ref_index = args.ref_index
     if ref_index is None:
         ref_index = (cfg.camera.rows // 2) * cfg.camera.cols + cfg.camera.cols // 2
-    result = calibrate_array(jnp.asarray(images), cams, ref_index, cfg.sfm)
+    result = calibrate_array(jnp.asarray(images), cams, ref_index, cfg.sfm,
+                             estimate_distortion=args.estimate_distortion)
     os.makedirs(args.output, exist_ok=True)
     save_array(os.path.join(args.output, "calibration.npz"),
                {"R": np.asarray(result.cameras.R), "t": np.asarray(result.cameras.t),
@@ -376,6 +377,9 @@ def cmd_calibrate(args) -> int:
     print(json.dumps({
         "mean_reproj_px": float(result.mean_reproj),
         "inlier_reproj_px": float(result.inlier_reproj),
+        **({"k1": float(result.distortion[0]),
+            "k2": float(result.distortion[1])}
+           if result.distortion is not None else {}),
         "inlier_threshold_px": float(result.inlier_threshold_px),
         "outlier_fraction": float(result.outlier_fraction),
         "num_obs": int(result.num_obs),
@@ -613,6 +617,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True)
     p.add_argument("--ref-index", type=int, default=None)
     p.add_argument("--half-res", action="store_true")
+    p.add_argument("--estimate-distortion", action="store_true",
+                   help="solve Brown-Conrady (k1,k2) from vertical parallax "
+                        "before BA (translation rigs)")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("serve", help="stream frame-set dirs through the pipeline")
