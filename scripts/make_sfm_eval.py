@@ -57,6 +57,29 @@ def main():
     cfg = SfMConfig(max_features=512, ba_iterations=30, ba_damping=1e-3)
     out = calibrate_array(jnp.asarray(imgs), init, 4, cfg, rounds=2)
 
+    # distortion study (r4): strong barrel lens, blind vs aware
+    from stereovisionarray_tpu.geometry.distortion import (
+        Distortion,
+        distort_image,
+    )
+
+    kt = Distortion(k1=-0.4, k2=0.03)
+    dimgs = jnp.stack([
+        distort_image(jnp.asarray(imgs[i]), rig[i], kt)[0]
+        for i in range(len(rig))
+    ])
+    t_bad5 = np.asarray(rig.t).copy()
+    t_bad5[1:] += np.random.default_rng(0).normal(
+        0, 0.005, t_bad5[1:].shape).astype(np.float32)
+    init5 = make_camera_array(
+        rig.fx, rig.fy, rig.cx, rig.cy, np.asarray(rig.R), t_bad5
+    )
+    blind = calibrate_array(dimgs, init5, 4, cfg, rounds=2)
+    aware = calibrate_array(dimgs, init5, 4, cfg, rounds=2,
+                            estimate_distortion=True)
+    ate_fn = lambda c: float(absolute_trajectory_error(
+        c.centers, rig.centers, align_scale=True))
+
     ate0 = float(
         absolute_trajectory_error(init.centers, rig.centers, align_scale=True)
     )
@@ -87,9 +110,29 @@ def main():
                 "zero-weights; inlier_reproj_px (err <= 3x kernel scale, "
                 "after the between-rounds re-triangulate+reject) is the "
                 "calibration quality of record (VERDICT r2 item 5)",
+        "distortion_study": {
+            "lens": "Brown-Conrady k1=-0.4 k2=0.03 (strong barrel), "
+                    "5 mm RMS translation perturbation",
+            "blind": {
+                "ate_mm": round(ate_fn(blind.cameras) * 1e3, 3),
+                "inlier_reproj_px": round(float(blind.inlier_reproj), 4),
+            },
+            "estimate_distortion": {
+                "ate_mm": round(ate_fn(aware.cameras) * 1e3, 3),
+                "inlier_reproj_px": round(float(aware.inlier_reproj), 4),
+                "k1": round(float(aware.distortion[0]), 4),
+                "k2": round(float(aware.distortion[1]), 4),
+            },
+            "note": "vertical-parallax closed-form (k1,k2) solved before "
+                    "BA (models/calibration.py); at moderate distortion "
+                    "(k1=-0.15) blind calibration is already unhurt — free "
+                    "structure absorbs the lens on narrow baselines (see "
+                    "CLAUDE.md round-4 notes); k2 weakly identifiable at "
+                    "this FOV, profile sub-pixel over observed radii",
+        },
     }
     with open(os.path.join(os.path.dirname(__file__), "..",
-                           "EVAL_SFM_r03.json"), "w") as f:
+                           "EVAL_SFM_r04.json"), "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps(artifact))
 
