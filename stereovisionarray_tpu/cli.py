@@ -279,8 +279,22 @@ def cmd_reconstruct(args) -> int:
     if col is not None and col.size:
         c8 = np.clip(np.asarray(col), 0, 255).astype(np.uint8)
         col3 = np.stack([c8, c8, c8], axis=-1)
+    normals = None
+    if args.voxel == 0.0 and not args.remove_outliers:
+        # per-point world normals (depth_normals per view), compacted with
+        # the same mask as the cloud; post-processing reorders/merges
+        # points, so normals are exported only for the raw fused cloud
+        from stereovisionarray_tpu.models.fusion import depth_normals
+
+        cams_sel = cams[jnp.asarray(list(views))]
+        nrm_all = np.stack([
+            np.asarray(depth_normals(cams_sel[k], result.depth[k],
+                                     result.valid[k])[0])
+            for k in range(len(views))
+        ])
+        normals = nrm_all.reshape(-1, 3)[np.asarray(result.valid).reshape(-1)]
     n_pts = save_ply(os.path.join(args.output, "fused_cloud.ply"),
-                     pts, colors=col3)
+                     pts, colors=col3, normals=normals, quality=conf)
     save_array(os.path.join(args.output, "fused.npz"),
                {"depths": np.asarray(result.depth),
                 "valid": np.asarray(result.valid),

@@ -121,6 +121,8 @@ def save_ply(
     points: np.ndarray,
     colors: Optional[np.ndarray] = None,
     valid: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+    quality: Optional[np.ndarray] = None,
 ) -> int:
     """Write a binary little-endian PLY point cloud.
 
@@ -133,27 +135,42 @@ def save_ply(
       points: (..., 3) float positions (flattened).
       colors: optional (..., 3) uint8 RGB per point.
       valid: optional (...) boolean filter.
+      normals: optional (..., 3) float unit normals (nx, ny, nz).
+      quality: optional (...) float per-point scalar (e.g. fusion
+        confidence) written as the standard `quality` property.
     """
     pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
     col = None if colors is None else np.asarray(colors, dtype=np.uint8).reshape(-1, 3)
+    nrm = None if normals is None else np.asarray(normals, dtype=np.float32).reshape(-1, 3)
+    qual = None if quality is None else np.asarray(quality, dtype=np.float32).reshape(-1)
     if valid is not None:
         keep = np.asarray(valid).reshape(-1)
         pts = pts[keep]
-        if col is not None:
-            col = col[keep]
+        col = col[keep] if col is not None else None
+        nrm = nrm[keep] if nrm is not None else None
+        qual = qual[keep] if qual is not None else None
     n = pts.shape[0]
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}",
               "property float x", "property float y", "property float z"]
+    fields = [("xyz", "<f4", 3)]
+    if nrm is not None:
+        header += ["property float nx", "property float ny", "property float nz"]
+        fields += [("normal", "<f4", 3)]
     if col is not None:
         header += ["property uchar red", "property uchar green", "property uchar blue"]
+        fields += [("rgb", "u1", 3)]
+    if qual is not None:
+        header += ["property float quality"]
+        fields += [("quality", "<f4")]
     header += ["end_header"]
+    rec = np.zeros(n, dtype=fields)
+    rec["xyz"] = pts
+    if nrm is not None:
+        rec["normal"] = nrm
     if col is not None:
-        rec = np.zeros(n, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
-        rec["xyz"] = pts
         rec["rgb"] = col
-    else:
-        rec = np.zeros(n, dtype=[("xyz", "<f4", 3)])
-        rec["xyz"] = pts
+    if qual is not None:
+        rec["quality"] = qual
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
@@ -163,19 +180,29 @@ def save_ply(
 
 def load_ply(path: str) -> tuple[np.ndarray, Optional[np.ndarray]]:
     """Read a PLY written by :func:`save_ply` -> (points (N,3) f32,
-    colors (N,3) u8 or None)."""
+    colors (N,3) u8 or None). The property list is parsed generically, so
+    files with normals/quality channels load too (extra channels are
+    skipped; use numpy on the record directly if they are needed)."""
+    type_map = {"float": "<f4", "uchar": "u1", "int": "<i4",
+                "double": "<f8", "short": "<i2", "ushort": "<u2"}
     with open(path, "rb") as f:
         n = 0
-        has_color = False
+        props = []  # (name, numpy type) in file order
         while True:
             line = f.readline().decode("ascii").strip()
             if line.startswith("element vertex"):
                 n = int(line.split()[-1])
-            elif line.startswith("property uchar red"):
-                has_color = True
+            elif line.startswith("property"):
+                _, ptype, name = line.split()
+                props.append((name, type_map[ptype]))
             elif line == "end_header":
                 break
-        dtype = ([("xyz", "<f4", 3), ("rgb", "u1", 3)] if has_color
-                 else [("xyz", "<f4", 3)])
+        dtype = [(name, t) for name, t in props]
         rec = np.frombuffer(f.read(), dtype=dtype, count=n)
-    return rec["xyz"].copy(), (rec["rgb"].copy() if has_color else None)
+    pts = np.stack([rec["x"], rec["y"], rec["z"]], axis=-1).astype(np.float32)
+    names = {name for name, _ in props}
+    col = None
+    if {"red", "green", "blue"} <= names:
+        col = np.stack([rec["red"], rec["green"], rec["blue"]],
+                       axis=-1).astype(np.uint8)
+    return pts, col

@@ -40,6 +40,36 @@ class TestVoxelDownsample:
         assert out0.shape[0] == 0 and w0.shape[0] == 0
 
 
+class TestPlyChannels:
+    def test_normals_quality_round_trip(self, tmp_path):
+        from stereovisionarray_tpu.datasets import load_ply, save_ply
+
+        r = np.random.default_rng(2)
+        pts = r.uniform(-1, 1, (50, 3)).astype(np.float32)
+        nrm = r.normal(size=(50, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        col = r.integers(0, 256, (50, 3)).astype(np.uint8)
+        q = r.uniform(0, 1, 50).astype(np.float32)
+        path = str(tmp_path / "c.ply")
+        n = save_ply(path, pts, colors=col, normals=nrm, quality=q)
+        assert n == 50
+        pts2, col2 = load_ply(path)
+        np.testing.assert_allclose(pts2, pts)
+        np.testing.assert_array_equal(col2, col)
+        # the generic record exposes the extra channels byte-exactly
+        with open(path, "rb") as f:
+            header = b""
+            while not header.endswith(b"end_header\n"):
+                header += f.read(1)
+            rec = np.frombuffer(f.read(), dtype=[
+                ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+                ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+                ("quality", "<f4")], count=50)
+        np.testing.assert_allclose(rec["nx"], nrm[:, 0])
+        np.testing.assert_allclose(rec["quality"], q)
+
+
 class TestRemoveOutliers:
     def test_isolated_speckle_dropped_surface_kept(self):
         r = np.random.default_rng(1)
