@@ -68,6 +68,7 @@ class SGMConfig:
     speckle_window: int = 0  # speckle-suppression window (0 disables)
     speckle_max_diff: float = 1.0
     speckle_min_support: int = 12
+    fill_holes: bool = False  # background-fill occlusion gaps (Hirschmueller)
 
 
 def noise_robust_preset():

@@ -42,3 +42,7 @@ from stereovisionarray_tpu.models.temporal import (  # noqa: F401
     temporal_init,
     temporal_update,
 )
+from stereovisionarray_tpu.models.cascade import (  # noqa: F401
+    CascadeOutput,
+    cascade_two_view_disparity,
+)

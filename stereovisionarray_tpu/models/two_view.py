@@ -242,8 +242,12 @@ def two_view_disparity(
         cost_map = res.cost
 
     disparity, valid = res.disparity, res.valid
-    if sgm_cfg.median_filter or sgm_cfg.speckle_window > 0:
-        from stereovisionarray_tpu.ops.postfilter import median3x3, speckle_filter
+    if sgm_cfg.median_filter or sgm_cfg.speckle_window > 0 or sgm_cfg.fill_holes:
+        from stereovisionarray_tpu.ops.postfilter import (
+            fill_holes,
+            median3x3,
+            speckle_filter,
+        )
 
         if sgm_cfg.median_filter:
             disparity = median3x3(disparity, valid)
@@ -255,6 +259,8 @@ def two_view_disparity(
                 window=sgm_cfg.speckle_window,
                 min_support=sgm_cfg.speckle_min_support,
             )
+        if sgm_cfg.fill_holes:
+            disparity, valid = fill_holes(disparity, valid)
 
     depth = None
     if baseline is not None and focal_px is not None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from stereovisionarray_tpu.ops.refine import box_filter2d
 from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
 
-__all__ = ["median3x3", "speckle_filter"]
+__all__ = ["median3x3", "speckle_filter", "fill_holes"]
 
 
 def _shifted(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -115,3 +115,63 @@ def speckle_filter(
     keep = v & (support >= min_support)
     out = jnp.where(keep, disp, INVALID_DISPARITY)
     return out, keep
+
+
+def _propagate(disp: jnp.ndarray, valid: jnp.ndarray, dx: int, span: int):
+    """Nearest-valid value along +-x via log-doubling jumps.
+
+    Equivalent to a serial scan carrying the last valid disparity, but in
+    ceil(log2(span)) shifted select passes over (H, W) — the TPU-friendly
+    parallel-prefix form (a 768-step lax.scan would dispatch 768 tiny ops).
+    dx=+1 propagates left values rightward; dx=-1 the reverse. Pixels with
+    no valid source within `span` stay unfilled."""
+    val = jnp.where(valid, disp, 0.0)
+    has = valid
+    step = 1
+    while step < span:
+        sv = _shifted(val, 0, dx * step)
+        sh = _shifted(has, 0, dx * step)
+        # edge replication would smear the border pixel's own (possibly
+        # unfilled) state; kill wrapped-in flags at the border explicitly
+        col = jnp.arange(disp.shape[1])
+        inside = (col >= step) if dx > 0 else (col < disp.shape[1] - step)
+        sh = sh & inside[None, :]
+        take = ~has & sh
+        val = jnp.where(take, sv, val)
+        has = has | sh
+        step *= 2
+    return val, has
+
+
+def fill_holes(
+    disp: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    max_span: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fill invalid disparities with the nearest valid row neighbours.
+
+    Standard SGM gap interpolation (Hirschmueller 2008 §IV-D; absent from
+    the reference, whose unmatched pixels keep uninitialized memory,
+    ``/root/reference/src/CameraStereoVision.cpp:46`` / SURVEY §2.3.3):
+    occlusions are filled with the SMALLER (background) of the nearest
+    valid disparities to the left and right — an occluded pixel belongs to
+    the background surface by construction — while pixels with only one
+    valid side take that side.
+
+    Pure VPU: two log-doubling nearest-valid propagations + one select;
+    no gathers, no data-dependent shapes. Returns (filled, filled_valid);
+    filled_valid marks pixels that are valid OR were filled (rows that are
+    entirely invalid stay unfilled)."""
+    v = valid if valid is not None else disp >= 0
+    span = int(max_span) if max_span is not None else int(disp.shape[1])
+    lval, lhas = _propagate(disp, v, +1, span)
+    rval, rhas = _propagate(disp, v, -1, span)
+    both = lhas & rhas
+    fill = jnp.where(
+        both,
+        jnp.minimum(lval, rval),
+        jnp.where(lhas, lval, rval),
+    )
+    any_side = lhas | rhas
+    out = jnp.where(v, disp, jnp.where(any_side, fill, INVALID_DISPARITY))
+    return out, v | any_side

@@ -4,8 +4,74 @@ suppression — production-SGM steps absent from the reference."""
 import numpy as np
 import jax.numpy as jnp
 
-from stereovisionarray_tpu.ops.postfilter import median3x3, speckle_filter
+from stereovisionarray_tpu.ops.postfilter import (
+    fill_holes,
+    median3x3,
+    speckle_filter,
+)
 from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
+
+
+def _fill_oracle(d, v):
+    """Serial numpy oracle: nearest valid left/right per row, background
+    (min) where both exist."""
+    H, W = d.shape
+    out = d.copy()
+    ok = v.copy()
+    for y in range(H):
+        xs = np.where(v[y])[0]
+        for x in range(W):
+            if v[y, x]:
+                continue
+            left = xs[xs < x]
+            right = xs[xs > x]
+            cands = []
+            if left.size:
+                cands.append(d[y, left[-1]])
+            if right.size:
+                cands.append(d[y, right[0]])
+            if cands:
+                out[y, x] = min(cands)
+                ok[y, x] = True
+    return out, ok
+
+
+class TestFillHoles:
+    def test_matches_serial_oracle(self):
+        rng = np.random.default_rng(3)
+        d = rng.uniform(0, 64, (12, 37)).astype(np.float32)
+        v = rng.uniform(size=(12, 37)) > 0.4
+        got, gv = fill_holes(jnp.asarray(d), jnp.asarray(v))
+        want, wv = _fill_oracle(d, v)
+        assert (np.asarray(gv) == wv).all()
+        np.testing.assert_allclose(np.asarray(got)[wv], want[wv], rtol=0, atol=0)
+
+    def test_occlusion_takes_background(self):
+        # step scene: high disparity (near) on the left, low (far) right;
+        # an occlusion hole at the step must fill from the FAR side
+        d = np.full((8, 32), 40.0, dtype=np.float32)
+        d[:, 16:] = 10.0
+        v = np.ones_like(d, dtype=bool)
+        v[:, 14:18] = False
+        got, gv = fill_holes(jnp.asarray(d), jnp.asarray(v))
+        assert np.asarray(gv).all()
+        assert (np.asarray(got)[:, 14:18] == 10.0).all()
+
+    def test_fully_invalid_row_stays_invalid(self):
+        d = np.full((4, 16), 5.0, dtype=np.float32)
+        v = np.ones_like(d, dtype=bool)
+        v[2] = False
+        got, gv = fill_holes(jnp.asarray(d), jnp.asarray(v))
+        assert not np.asarray(gv)[2].any()
+        assert (np.asarray(got)[2] == float(INVALID_DISPARITY)).all()
+
+    def test_single_sided_border_hole(self):
+        d = np.full((4, 16), 7.0, dtype=np.float32)
+        v = np.ones_like(d, dtype=bool)
+        v[:, :3] = False  # left border: only a right-side source exists
+        got, gv = fill_holes(jnp.asarray(d), jnp.asarray(v))
+        assert np.asarray(gv).all()
+        assert (np.asarray(got)[:, :3] == 7.0).all()
 
 
 class TestMedian:
