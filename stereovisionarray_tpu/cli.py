@@ -336,8 +336,17 @@ def cmd_two_view(args) -> int:
     kwargs = {}
     if args.baseline is not None and args.focal_px is not None:
         kwargs = {"baseline": args.baseline, "focal_px": args.focal_px}
-    out = two_view_disparity(jnp.asarray(left), jnp.asarray(right),
-                             cfg.cost, cfg.sgm, **kwargs)
+    if getattr(args, "cascade", False):
+        from stereovisionarray_tpu.models import cascade_two_view_disparity
+
+        out = cascade_two_view_disparity(
+            jnp.asarray(left), jnp.asarray(right), cfg.cost, cfg.sgm,
+            coarse_factor=args.coarse_factor,
+            fine_disparities=args.fine_disparities,
+            band_step=args.band_step, **kwargs)
+    else:
+        out = two_view_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 cfg.cost, cfg.sgm, **kwargs)
     os.makedirs(args.output, exist_ok=True)
     save_png(os.path.join(args.output, "disparity.png"), np.asarray(out.disparity))
     payload = {"disparity": np.asarray(out.disparity), "valid": np.asarray(out.valid)}
@@ -623,6 +632,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--baseline", type=float, help="metric baseline (for depth)")
     p.add_argument("--focal-px", type=float, help="focal length in pixels")
     p.add_argument("--half-res", action="store_true")
+    p.add_argument("--cascade", action="store_true",
+                   help="coarse-to-fine banded search (large disparity ranges)")
+    p.add_argument("--coarse-factor", type=int, default=4)
+    p.add_argument("--fine-disparities", type=int, default=32)
+    p.add_argument("--band-step", type=int, default=8)
     _add_probe(p)
     p.set_defaults(fn=cmd_two_view)
 

@@ -106,6 +106,20 @@ def test_two_view_cli(rendered, tmp_path, capsys):
     assert os.path.exists(os.path.join(out_dir, "depth.png"))
 
 
+def test_two_view_cascade_cli(rendered, tmp_path, capsys):
+    left = os.path.join(rendered, "view_004.png")
+    right = os.path.join(rendered, "view_003.png")
+    out_dir = str(tmp_path / "tvc")
+    rc, result = _run(capsys, [
+        "two-view", "--left", left, "--right", right, "--output", out_dir,
+        "--set", "cost.num_disparities=64", "--set", "sgm.num_paths=4",
+        "--cascade", "--fine-disparities", "16", "--band-step", "4",
+    ])
+    assert rc == 0
+    assert result["valid_fraction"] > 0.3
+    assert os.path.exists(os.path.join(out_dir, "disparity.png"))
+
+
 def test_calibrate_cli(rendered, tmp_path, capsys):
     out_dir = str(tmp_path / "cal")
     rc, result = _run(capsys, [
