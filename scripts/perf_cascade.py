@@ -1,0 +1,180 @@
+"""Cascade vs flat full-range stereo: device time + accuracy artifact.
+
+Measures the claim in ``models/cascade.py``: at a large total disparity
+range (D=256 at 540x768 — the regime where the reference brackets each
+ray per pixel, ``/root/reference/src/CameraStereoVision.cpp:60-73``) a
+coarse pass + banded fine pass beats the flat D=256 volume end to end.
+
+Timing follows bench.py's tunnel rules exactly: many frames per jitted
+dispatch via lax.map, two-batch-size SLOPE to cancel dispatch latency,
+scalar-reduce host fetch as the fence, salted inputs, alternating order.
+
+Accuracy: a smooth large-range scene (slanted plane + bump, d in
+[24, 232]) synthesized by exact inverse-mapping of the left-coords
+disparity field (monotone u(x) = x - d(x), interpolated per row), scored
+bad-2.0 / EPE on the mutually-seen interior for BOTH pipelines.
+
+Writes EVAL_CASCADE_r04.json.
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+
+H, W = 540, 768
+TOTAL, FINE, STEP, FACTOR = 256, 32, 8, 4
+MARGIN = 48  # cascade border strip + census window
+
+
+def make_scene(rng, h, w):
+    """(left, right, gt_disp, eval_mask): exact inverse-mapped pair."""
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)[:, None]
+    # slanted plane + smooth bump, d in ~[24, 232]; |dd/dx| < 1 everywhere
+    d = (
+        24.0
+        + 160.0 * (x[None, :] / (w - 1))
+        + 48.0 * np.exp(-(((x[None, :] - 0.55 * w) / (0.18 * w)) ** 2
+                          + ((y - 0.5 * h) / (0.3 * h)) ** 2))
+    )
+    t = rng.uniform(0.0, 255.0, (h, w)).astype(np.float64)
+    for _ in range(2):
+        t = (t + np.roll(t, 1, 0) + np.roll(t, -1, 0)) / 3.0
+        t = (t + np.roll(t, 1, 1) + np.roll(t, -1, 1)) / 3.0
+    left = t
+    # u(x) = x - d(x) is strictly increasing (dd/dx < 1): invert by interp
+    right = np.zeros_like(left)
+    for yy in range(h):
+        u_of_x = x - d[yy]
+        x_of_u = np.interp(x, u_of_x, x)  # right-pixel u -> source left x
+        right[yy] = np.interp(x_of_u, x, left[yy])
+        # right content left of u(x=0) never existed in left: mirror-fill
+        right[yy, x < u_of_x[0]] = left[yy, 0]
+    mask = np.zeros((h, w), bool)
+    mask[8:-8, :] = True
+    mask &= x[None, :] >= d + MARGIN  # content visible + past border strip
+    mask[:, -8:] = False
+    return (
+        left.astype(np.float32),
+        right.astype(np.float32),
+        d.astype(np.float32),
+        mask,
+    )
+
+
+def _timed(fn, args, salt):
+    t0 = time.perf_counter()
+    float(fn(args[0] + salt, args[1]))
+    return time.perf_counter() - t0
+
+
+def _slope(fn_small, a_small, fn_big, a_big, nb_small, nb_big, repeats):
+    ts, tb = [], []
+    for i in range(repeats):
+        salt = 1.0 + 0.1 * i
+        ts.append(_timed(fn_small, a_small, salt))
+        tb.append(_timed(fn_big, a_big, salt + 0.05))
+    per = (statistics.median(tb) - statistics.median(ts)) / (nb_big - nb_small)
+    return per, statistics.median(tb) / nb_big
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, help="cpu to force host")
+    ap.add_argument("--repeats", type=int, default=9)
+    ap.add_argument("--batches", type=int, nargs=2, default=[1, 5])
+    ap.add_argument("--out", default="EVAL_CASCADE_r04.json")
+    args = ap.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from stereovisionarray_tpu.config import CostConfig, SGMConfig
+    from stereovisionarray_tpu.models.cascade import cascade_two_view_disparity
+    from stereovisionarray_tpu.models.two_view import two_view_disparity
+
+    cost = CostConfig(num_disparities=TOTAL, dtype="int8")
+    sgm = SGMConfig(p1=8.0, p2=96.0, num_paths=8)
+
+    def flat_one(pair):
+        return two_view_disparity(pair[0], pair[1], cost, sgm).disparity
+
+    def casc_one(pair):
+        return cascade_two_view_disparity(
+            pair[0], pair[1], cost, sgm,
+            coarse_factor=FACTOR, fine_disparities=FINE, band_step=STEP,
+        ).disparity
+
+    def batcher(one, n):
+        @jax.jit
+        def batch(ls, rs):
+            return jnp.sum(jax.lax.map(one, (ls, rs)))
+
+        rng = np.random.default_rng(n)
+        base = rng.uniform(0.0, 255.0, (n, H, W + 64)).astype(np.float32)
+        return batch, (
+            jax.device_put(jnp.asarray(base[..., :W])),
+            jax.device_put(jnp.asarray(base[..., 64:])),
+        )
+
+    nb_s, nb_b = args.batches
+    report = {"shape": [H, W, TOTAL],
+              "cascade": {"factor": FACTOR, "fine": FINE, "step": STEP}}
+
+    for name, one in [("flat", flat_one), ("cascade", casc_one)]:
+        fs, a_s = batcher(one, nb_s)
+        fb, a_b = batcher(one, nb_b)
+        for k in range(3):  # warmup: compile + first-touch
+            _timed(fs, a_s, 0.2 + 0.01 * k)
+            _timed(fb, a_b, 0.2 + 0.01 * k)
+        per, sust = _slope(fs, a_s, fb, a_b, nb_s, nb_b, args.repeats)
+        report[name + "_ms_per_frame"] = round(per * 1e3, 3)
+        report[name + "_sustained_ms"] = round(sust * 1e3, 3)
+        print(name, report[name + "_ms_per_frame"], "ms/frame", flush=True)
+
+    if report["cascade_ms_per_frame"] > 0 and report["flat_ms_per_frame"] > 0:
+        report["speedup"] = round(
+            report["flat_ms_per_frame"] / report["cascade_ms_per_frame"], 2
+        )
+
+    # ---- accuracy on the exact synthetic large-range scene ---------------
+    left, right, gt, mask = make_scene(np.random.default_rng(0), H, W)
+    lj, rj = jnp.asarray(left), jnp.asarray(right)
+    for name, one in [("flat", flat_one), ("cascade", casc_one)]:
+        d = np.asarray(jax.jit(lambda l, r: one((l, r)))(lj, rj))
+        v = d >= 0
+        m = mask & v
+        err = np.abs(d - gt)[m]
+        report[name + "_eval"] = {
+            "valid_in_mask": round(float((mask & v).sum() / mask.sum()), 4),
+            "bad2": round(float((err > 2.0).mean()), 5),
+            "epe": round(float(err.mean()), 4),
+            "median_err": round(float(np.median(err)), 4),
+        }
+        print(name, report[name + "_eval"], flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(json.dumps(report, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,11 +27,11 @@ two-level cascade:
    selects over the static fine range.
 
 Both passes reuse ``two_view_disparity`` unchanged, so the Pallas fused
-kernels, confidence, and LR checking all apply at both levels. Cost at
-(540, 768, 256): flat volume = 4x the D=64 pipeline; cascade = ~1/16 of
-a D=64 volume (coarse) + a D_fine=32 full-res pass + two one-hot warp
-select chains — ~3-4x cheaper end to end, measured in
-``scripts/perf_cascade.py``.
+kernels, confidence, and LR checking all apply at both levels. Measured
+at (540, 768, 256) on a v5e chip (``scripts/perf_cascade.py``,
+EVAL_CASCADE_r04): cascade 1.43 ms/frame vs flat 9.23 — **6.5x** — at
+matching median error (0.135 vs 0.130 px); bad-2.0 1.25% vs 0.01%, the
+loss concentrated at band boundaries and the range-border strip.
 
 Known approximations (evaluated in ``tests/test_cascade.py`` and
 ``EVAL_CASCADE_r04.json``): census windows straddling a band-offset

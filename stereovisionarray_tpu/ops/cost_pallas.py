@@ -339,6 +339,12 @@ def fused_cost_volume_pallas_wdh(
         out_specs=pl.BlockSpec((R, D, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((w, D, h), odt),
+        # the out block is (R, D, H): at large D (cascade flat-oracle runs
+        # at D=256) it overflows the default 16 MB scoped-vmem limit
+        # (measured 18.85 MB at 768x256x540 int8); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
 

@@ -256,6 +256,9 @@ def lr_gather_maps(disp_l, disp_r, n_disp, interpret: bool = False):
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(disp_l.astype(jnp.float32), disp_r.astype(jnp.float32))
 
@@ -299,6 +302,9 @@ def extract_maps_hdw(
             jax.ShapeDtypeStruct((h, w), jnp.bool_),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
         ),
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(vol)
     return ExtractMaps(disp, cost, valid, second)

@@ -155,6 +155,9 @@ def _sweep(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool):
         out_specs=pl.BlockSpec((1, n, d), idx3, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
         scratch_shapes=[pltpu.VMEM((n, d), vol.dtype)] * n_carries,
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(vol, p2_map[..., None])
 
@@ -313,6 +316,9 @@ def _sweep_hdw(vol, p2_map, p1, reverse: bool, diagonals: bool, interpret: bool,
         out_shape=jax.ShapeDtypeStruct(vol.shape, out_dtype),
         scratch_shapes=[pltpu.VMEM((d, n), _carry_dtype(vol.dtype))] * n_carries,
         input_output_aliases=aliases,
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
 
@@ -381,6 +387,9 @@ def _sweep_hdw_bidir(vol, p2_map, p1, diagonals: bool, interpret: bool):
         ),
         out_shape=(shape, shape),
         scratch_shapes=[pltpu.VMEM((d, n), vol.dtype)] * (2 * k),
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(vol, vol, p2_map[:, None, :], p2_map[:, None, :])
 
@@ -711,6 +720,9 @@ def _sweep_hdw_extract(vol, p2_map, p1, acc, diagonals, interpret,
         out_specs=(dspec, cspec, vspec, sspec),
         out_shape=(dshape, cshape, vshape, sshape),
         scratch_shapes=[pltpu.VMEM(carry_shape, _carry_dtype(vol.dtype))],
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(vol, p2_map[:, None, :], acc)
     return disp[:, 0], cost[:, 0], valid[:, 0], second[:, 0]
@@ -993,6 +1005,9 @@ def _rl_extract_wdh(vol_t, p2_map_t, p1, acc, interpret, subpixel,
             pltpu.VMEM((d, h), cdt),  # cpb
             pltpu.VMEM((d, h), jnp.int32),  # updl
         ],
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(vol_t, p2_map_t[:, None, :], acc)
     return displ[:, 0], cost[:, 0], validu[:, 0], dispr[:, 0], secondl[:, 0]
@@ -1217,6 +1232,9 @@ def _sweep_hdw_stacked(vol, p2_map, p1, reverse: bool, interpret: bool,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((3 * d, n), cdt)],
         input_output_aliases=aliases,
+        # scoped-vmem cap: blocks scale with D; the default 16 MB limit
+        # OOMs at D=256 (cascade flat-oracle); v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
     return result
