@@ -114,6 +114,17 @@ class PlaneSweepConfig:
     # dispatch (plane-at-a-time measured 50 ms/frame-set at 5x5x270x360x128
     # on a v5e; chunked is several times faster)
     plane_chunk: int = 32
+    # coarse-to-fine cascade (models/cascade_sweep.py): coarse pass at
+    # 1/cascade_coarse_factor resolution positions a per-pixel
+    # cascade_fine_planes-wide plane window (starts quantized to
+    # cascade_band_step planes); translation-only rigs only. The fine
+    # window must be wide enough to absorb coarse error + per-view band
+    # misalignment — below ~num_planes/3 the band-boundary error rate
+    # climbs steeply (tests/test_cascade_sweep.py)
+    cascade: bool = False
+    cascade_coarse_factor: int = 2
+    cascade_fine_planes: int = 32
+    cascade_band_step: int = 8
 
 
 @dataclass(frozen=True)

@@ -179,24 +179,56 @@ def array_depth_pipeline(
         else:
             mask = jnp.ones((h, w), dtype=bool)
 
-    sweep = plane_sweep_depth(
-        images,
-        cameras,
-        ref_index,
-        src_indices,
-        cfg.plane_sweep,
-        cfg.sgm,
-        mask=mask,
-        shift_pad=_shift_warp_pad(cameras, ref_index, src_indices, cfg),
-        # axis_flags deliberately NOT passed (ADVICE r2 asked to activate
-        # the sweep kernel's static-slice branches here via host-side
-        # flags; plumbed + parity-checked on device, then MEASURED: the
-        # flagged kernel is 51% SLOWER than the dynamic one-hot path —
-        # sweep_volume slope 7.68 vs 5.09 ms within one run,
-        # scripts/perf_array_stages.py sweep_volume_flagged. The "free"
-        # static row window costs Mosaic a per-plane relayout of the
-        # resident bf16 operands that the always-matmul form never pays.)
-    )
+    shift_pad = _shift_warp_pad(cameras, ref_index, src_indices, cfg)
+    if cfg.plane_sweep.cascade:
+        from stereovisionarray_tpu.models.cascade_sweep import (
+            cascade_plane_sweep_depth,
+            cascade_static_params,
+        )
+
+        if shift_pad <= 0:
+            raise ValueError(
+                "plane_sweep.cascade requires a translation-only rig "
+                "(general rigs have non-linear per-plane warps)"
+            )
+        ps = cfg.plane_sweep
+        band_offsets, fine_pad = cascade_static_params(
+            cameras, ref_index, src_indices, ps, ps.cascade_fine_planes
+        )
+        sweep = cascade_plane_sweep_depth(
+            images,
+            cameras,
+            ref_index,
+            src_indices,
+            ps,
+            cfg.sgm,
+            mask=mask,
+            shift_pad=shift_pad,
+            coarse_factor=ps.cascade_coarse_factor,
+            fine_planes=ps.cascade_fine_planes,
+            band_step=ps.cascade_band_step,
+            band_offsets=band_offsets,
+            fine_shift_pad=fine_pad,
+        )
+    else:
+        sweep = plane_sweep_depth(
+            images,
+            cameras,
+            ref_index,
+            src_indices,
+            cfg.plane_sweep,
+            cfg.sgm,
+            mask=mask,
+            shift_pad=shift_pad,
+            # axis_flags deliberately NOT passed (ADVICE r2 asked to activate
+            # the sweep kernel's static-slice branches here via host-side
+            # flags; plumbed + parity-checked on device, then MEASURED: the
+            # flagged kernel is 51% SLOWER than the dynamic one-hot path —
+            # sweep_volume slope 7.68 vs 5.09 ms within one run,
+            # scripts/perf_array_stages.py sweep_volume_flagged. The "free"
+            # static row window costs Mosaic a per-plane relayout of the
+            # resident bf16 operands that the always-matmul form never pays.)
+        )
 
     # ---- multi-view photoconsistency refinement in disparity space ---- #
     baselines, b0 = array_baselines(cameras, ref_index, src_indices)

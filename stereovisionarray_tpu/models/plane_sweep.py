@@ -261,6 +261,7 @@ def plane_sweep_volume(
     depths: Optional[jnp.ndarray] = None,
     backend: str = "auto",
     axis_flags: Optional[tuple] = None,
+    shifts: Optional[jnp.ndarray] = None,
 ) -> tuple:
     """Build the fused (H, W, D) plane-sweep cost volume and the per-plane
     valid-view counts (H, W, D).
@@ -275,6 +276,11 @@ def plane_sweep_volume(
     hook (parallel/plane_sweep.py): each ``disp`` mesh shard sweeps its own
     chunk of the inverse-depth samples (planes are independent, so the
     plane axis shards with NO halo); default = the full cfg sample set.
+    shifts: optional explicit (S, D, 2) per-view/plane pixel shifts that
+    REPLACE the camera-derived :func:`translation_shifts` on the
+    translation fast path (requires shift_pad > 0) — the cascade hook
+    (models/cascade_sweep.py): band-pre-warped sources sweep residual
+    shifts that no camera geometry describes. ``cameras`` is unused then.
     """
     dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
     images = images.astype(dtype)
@@ -282,6 +288,8 @@ def plane_sweep_volume(
     h, w = ref.shape
     if depths is None:
         depths = inverse_depth_samples(cfg.z_near, cfg.z_far, cfg.num_planes, dtype=dtype)
+    if shifts is not None and shift_pad <= 0:
+        raise ValueError("explicit shifts require the translation fast path (shift_pad > 0)")
     src = jnp.asarray(src_indices, dtype=jnp.int32)
 
     ref_census = (
@@ -310,13 +318,12 @@ def plane_sweep_volume(
             plane_sweep_census_pallas,
         )
 
-        shifts = jnp.swapaxes(
-            translation_shifts(cameras, ref_index, src, depths), 0, 1
-        )  # (D, S, 2)
+        if shifts is None:
+            shifts = translation_shifts(cameras, ref_index, src, depths)
         fused, nviews = plane_sweep_census_pallas(
             ref,
             src_images,
-            shifts,
+            jnp.swapaxes(shifts, 0, 1),  # (D, S, 2)
             patch=cfg.patch,
             shift_pad=shift_pad,
             valid_mean=cfg.fusion == "mean",
@@ -332,7 +339,8 @@ def plane_sweep_volume(
         pad = shift_pad + 1
         padded = jnp.pad(src_images, ((0, 0), (pad, pad), (pad, pad)))
         # (S, D, 2): (su, sv) per view/plane, in the exact closed form
-        shifts = translation_shifts(cameras, ref_index, src, depths)
+        if shifts is None:
+            shifts = translation_shifts(cameras, ref_index, src, depths)
         v_iota = jax.lax.broadcasted_iota(dtype, (h, w), 0)
         u_iota = jax.lax.broadcasted_iota(dtype, (h, w), 1)
 
@@ -420,6 +428,47 @@ def plane_sweep_depth(
         images, cameras, ref_index, src_indices, cfg, shift_pad=shift_pad,
         backend=backend, axis_flags=axis_flags,
     )
+    k, cost, conf, k_int = _volume_to_maps(
+        vol, images[ref_index], cfg, sgm_cfg, backend
+    )
+
+    inv_near = 1.0 / cfg.z_near
+    inv_far = 1.0 / cfg.z_far
+    step = (inv_far - inv_near) / max(cfg.num_planes - 1, 1)
+    inv_depth = inv_near + k * step
+    depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
+
+    # one-hot select, NOT take_along_axis: a per-pixel gather serializes
+    # on TPU (measured ~1 ms/lookup at this shape in ops/refine.py)
+    d_sel = jax.lax.broadcasted_iota(jnp.int32, nv.shape, nv.ndim - 1)
+    views_at_win = jnp.sum(
+        jnp.where(d_sel == k_int[..., None], nv, 0), axis=-1
+    )
+    valid = views_at_win >= min_views
+    if mask is not None:
+        valid = valid & mask
+    depth = jnp.where(valid, depth, 0.0)
+    return PlaneSweepOutput(
+        depth=depth, plane=k, cost=cost, valid=valid, num_views=views_at_win,
+        confidence=jnp.where(valid, conf, 0.0),
+    )
+
+
+def _volume_to_maps(
+    vol: jnp.ndarray,
+    ref_image: jnp.ndarray,
+    cfg: PlaneSweepConfig,
+    sgm_cfg: Optional[SGMConfig],
+    backend: str,
+) -> tuple:
+    """(H, W, D) fused cost volume -> per-pixel winner maps.
+
+    SGM aggregation over the plane axis + WTA + subpixel parabola +
+    PKRN confidence, on the requested backend. Returns
+    ``(k, cost, conf, k_int)`` with ``k`` the fractional winning plane
+    index. Shared by :func:`plane_sweep_depth` and the cascade fine pass
+    (models/cascade_sweep.py), which decode plane indices differently.
+    """
     resolved = _resolve_backend(backend)
     if resolved in ("pallas", "pallas_interpret"):
         from stereovisionarray_tpu.ops.cost_volume import COST_SCALE
@@ -474,7 +523,7 @@ def plane_sweep_depth(
                 p1=pen(sgm_cfg.p1),
                 p2=pen(sgm_cfg.p2),
                 num_paths=sgm_cfg.num_paths,
-                image=images[ref_index],
+                image=ref_image,
                 adaptive_p2=sgm_cfg.adaptive_p2,
                 p2_min=pen(sgm_cfg.p2_min),
                 subpixel=True,
@@ -486,7 +535,7 @@ def plane_sweep_depth(
             maps = extract_maps_hdw(vol_hdw, subpixel=True, interpret=interpret)
         k = maps.disparity  # fractional winning plane index
         cost = maps.cost / scale  # back to unscaled cost units
-        k_int = jnp.clip(jnp.round(k).astype(jnp.int32), 0, cfg.num_planes - 1)
+        k_int = jnp.clip(jnp.round(k).astype(jnp.int32), 0, vol.shape[-1] - 1)
         from stereovisionarray_tpu.ops.confidence import pkrn_confidence
 
         conf = pkrn_confidence(maps.cost, maps.second)  # scale-invariant
@@ -497,7 +546,7 @@ def plane_sweep_depth(
                 p1=sgm_cfg.p1,
                 p2=sgm_cfg.p2,
                 num_paths=sgm_cfg.num_paths,
-                image=images[ref_index],
+                image=ref_image,
                 adaptive_p2=sgm_cfg.adaptive_p2,
                 p2_min=sgm_cfg.p2_min,
             )
@@ -506,24 +555,4 @@ def plane_sweep_depth(
         from stereovisionarray_tpu.ops.confidence import confidence_from_volume
 
         conf = confidence_from_volume(vol, k_int)
-
-    inv_near = 1.0 / cfg.z_near
-    inv_far = 1.0 / cfg.z_far
-    step = (inv_far - inv_near) / max(cfg.num_planes - 1, 1)
-    inv_depth = inv_near + k * step
-    depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
-
-    # one-hot select, NOT take_along_axis: a per-pixel gather serializes
-    # on TPU (measured ~1 ms/lookup at this shape in ops/refine.py)
-    d_sel = jax.lax.broadcasted_iota(jnp.int32, nv.shape, nv.ndim - 1)
-    views_at_win = jnp.sum(
-        jnp.where(d_sel == k_int[..., None], nv, 0), axis=-1
-    )
-    valid = views_at_win >= min_views
-    if mask is not None:
-        valid = valid & mask
-    depth = jnp.where(valid, depth, 0.0)
-    return PlaneSweepOutput(
-        depth=depth, plane=k, cost=cost, valid=valid, num_views=views_at_win,
-        confidence=jnp.where(valid, conf, 0.0),
-    )
+    return k, cost, conf, k_int

@@ -147,29 +147,37 @@ def fill_holes(
     disp: jnp.ndarray,
     valid: Optional[jnp.ndarray] = None,
     max_span: Optional[int] = None,
+    take: str = "min",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fill invalid disparities with the nearest valid row neighbours.
 
     Standard SGM gap interpolation (Hirschmueller 2008 §IV-D; absent from
     the reference, whose unmatched pixels keep uninitialized memory,
     ``/root/reference/src/CameraStereoVision.cpp:46`` / SURVEY §2.3.3):
-    occlusions are filled with the SMALLER (background) of the nearest
-    valid disparities to the left and right — an occluded pixel belongs to
-    the background surface by construction — while pixels with only one
-    valid side take that side.
+    occlusions are filled with the BACKGROUND side of the nearest valid
+    values to the left and right — an occluded pixel belongs to the
+    background surface by construction — while pixels with only one valid
+    side take that side. ``take`` selects which side is background:
+    ``"min"`` for disparity maps (background = smaller disparity),
+    ``"max"`` for plane-index maps whose index grows with depth
+    (inverse-depth plane sweeps: index 0 = z_near, so background = larger
+    index — models/cascade_sweep.py).
 
     Pure VPU: two log-doubling nearest-valid propagations + one select;
     no gathers, no data-dependent shapes. Returns (filled, filled_valid);
     filled_valid marks pixels that are valid OR were filled (rows that are
     entirely invalid stay unfilled)."""
+    if take not in ("min", "max"):
+        raise ValueError(f"take must be 'min' or 'max', got {take!r}")
     v = valid if valid is not None else disp >= 0
     span = int(max_span) if max_span is not None else int(disp.shape[1])
     lval, lhas = _propagate(disp, v, +1, span)
     rval, rhas = _propagate(disp, v, -1, span)
     both = lhas & rhas
+    pick = jnp.minimum if take == "min" else jnp.maximum
     fill = jnp.where(
         both,
-        jnp.minimum(lval, rval),
+        pick(lval, rval),
         jnp.where(lhas, lval, rval),
     )
     any_side = lhas | rhas

@@ -73,6 +73,24 @@ class TestFillHoles:
         assert np.asarray(gv).all()
         assert (np.asarray(got)[:, :3] == 7.0).all()
 
+    def test_take_max_for_plane_index_maps(self):
+        # plane-index convention: index GROWS with depth, so the background
+        # surface is the LARGER index (models/cascade_sweep.py coarse fill)
+        d = np.full((8, 32), 10.0, dtype=np.float32)  # near surface (low idx)
+        d[:, 16:] = 50.0  # far background (high idx)
+        v = np.ones_like(d, dtype=bool)
+        v[:, 14:18] = False
+        got, gv = fill_holes(jnp.asarray(d), jnp.asarray(v), take="max")
+        assert np.asarray(gv).all()
+        assert (np.asarray(got)[:, 14:18] == 50.0).all()
+
+    def test_take_rejects_unknown(self):
+        d = jnp.zeros((4, 8))
+        import pytest
+
+        with pytest.raises(ValueError, match="take"):
+            fill_holes(d, jnp.ones((4, 8), bool), take="mean")
+
 
 class TestMedian:
     def test_matches_numpy_median_interior(self):
