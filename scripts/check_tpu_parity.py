@@ -307,6 +307,65 @@ def check_plane_sweep_depth_end_to_end():
           f"median rel {med:.2e}, within-2% {close:.4f}")
 
 
+def check_cascade_sweep_end_to_end():
+    """Cascade plane sweep both backends on device: the fine pass feeds the
+    fused MXU sweep kernel EXPLICIT residual shifts (positive and negative,
+    not camera-derived) and the coarse pass runs it at 135x180 — input
+    patterns no other on-device check exercises."""
+    from stereovisionarray_tpu.config import EngineConfig, SGMConfig
+    from stereovisionarray_tpu.datasets import (
+        SceneSpec, reference_rig, render_camera_array,
+    )
+    from stereovisionarray_tpu.geometry.topology import (
+        PairTopology, camera_pairs,
+    )
+    from stereovisionarray_tpu.models.array_pipeline import _shift_warp_pad
+    from stereovisionarray_tpu.models.cascade_sweep import (
+        cascade_plane_sweep_depth, cascade_static_params,
+    )
+
+    ROWS = COLS = 5
+    H, W, PLANES = 270, 360, 128
+    cams = reference_rig(rows=ROWS, cols=COLS, spacing=0.05,
+                         resolution=(H, W))
+    images, _ = render_camera_array(cams, (H, W), SceneSpec())
+    images = jnp.asarray(np.round(np.asarray(images)))
+    cfg = EngineConfig().override(**{
+        "camera.rows": ROWS, "camera.cols": COLS,
+        "plane_sweep.num_planes": PLANES, "plane_sweep.topology": "CROSS",
+    })
+    ref_index = (ROWS // 2) * COLS + COLS // 2
+    pairs = camera_pairs(PairTopology("CROSS"), rows=ROWS, cols=COLS,
+                         center=ref_index)
+    src_indices = tuple(int(b) for a, b in pairs if a == ref_index)
+    pad = _shift_warp_pad(cams, ref_index, src_indices, cfg)
+    bo, fp = cascade_static_params(cams, ref_index, src_indices,
+                                   cfg.plane_sweep, 48)
+    sgm = SGMConfig(p1=4.0, p2=32.0, num_paths=8, adaptive_p2=True)
+
+    def run(backend):
+        return cascade_plane_sweep_depth(
+            images, cams, ref_index, src_indices, cfg.plane_sweep, sgm,
+            shift_pad=pad, coarse_factor=2, fine_planes=48, band_step=8,
+            band_offsets=bo, fine_shift_pad=fp, backend=backend,
+        )
+
+    out_p, out_x = run("pallas"), run("xla")
+    both = np.asarray(out_p.valid) & np.asarray(out_x.valid)
+    rel = (
+        np.abs(np.asarray(out_p.depth) - np.asarray(out_x.depth))[both]
+        / np.maximum(np.asarray(out_x.depth)[both], 1e-6)
+    )
+    med = float(np.median(rel))
+    close = float((rel < 0.02).mean())
+    # both levels quantize/aggregate independently and the band fields may
+    # flip at coarse near-ties — medians must still be tight
+    assert med < 1e-3, f"median rel depth diff {med}"
+    assert close > 0.95, f"within-2% fraction {close}"
+    print(f"PASS cascade sweep end-to-end pallas-vs-xla (128->48 planes): "
+          f"median rel {med:.2e}, within-2% {close:.4f}")
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     check_two_view()
@@ -315,6 +374,7 @@ def main():
     check_fused_extraction_bit_exact()
     check_plane_sweep_kernel()
     check_plane_sweep_depth_end_to_end()
+    check_cascade_sweep_end_to_end()
     print("ALL TPU PARITY CHECKS PASS")
 
 

@@ -162,6 +162,8 @@ def cmd_depth(args) -> int:
     from stereovisionarray_tpu.utils.obslog import MetricsLogger
 
     cfg = load_config(args)
+    if getattr(args, "cascade", False):
+        cfg = cfg.override(**{"plane_sweep.cascade": True})
     images, _paths = _load_array_images(args.input, args.half_res)
     n, h, w = images.shape
     if n != cfg.camera.rows * cfg.camera.cols:
@@ -596,6 +598,9 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="K", help="Brown-Conrady k1 k2 [p1 p2]: "
                    "undistort captures onto the ideal pinhole grid at ingest")
     p.add_argument("--ground-truth", help="npz with 'depths' (N,H,W)")
+    p.add_argument("--cascade", action="store_true",
+                   help="coarse-to-fine plane cascade (translation rigs; "
+                        "equivalent to --set plane_sweep.cascade=true)")
     _add_probe(p)
     p.set_defaults(fn=cmd_depth)
 

@@ -46,3 +46,7 @@ from stereovisionarray_tpu.models.cascade import (  # noqa: F401
     CascadeOutput,
     cascade_two_view_disparity,
 )
+from stereovisionarray_tpu.models.cascade_sweep import (  # noqa: F401
+    cascade_plane_sweep_depth,
+    cascade_static_params,
+)

@@ -86,6 +86,20 @@ def test_reconstruct_cli(rendered, tmp_path, capsys):
         assert os.path.exists(os.path.join(out_dir, artifact)), artifact
 
 
+def test_depth_cascade_cli(rendered, tmp_path, capsys):
+    out_dir = str(tmp_path / "outc")
+    rc, result = _run(capsys, [
+        "depth", "--input", rendered, "--output", out_dir, *SMALL,
+        "--cascade",
+        "--set", "plane_sweep.cascade_fine_planes=16",
+        "--set", "plane_sweep.cascade_band_step=4",
+    ])
+    assert rc == 0
+    assert result["valid_fraction"] > 0.5
+    assert result["median_rel_err"] < 0.05
+    assert os.path.exists(os.path.join(out_dir, "depth.npz"))
+
+
 def test_depth_rejects_wrong_rig_shape(rendered, tmp_path):
     with pytest.raises(SystemExit):
         main(["depth", "--input", rendered, "--output", str(tmp_path / "x")])
