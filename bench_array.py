@@ -29,19 +29,23 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cach
 ROWS = COLS = 5
 H, W = 270, 360
 PLANES = 128
-B_SMALL, B_BIG = 1, 3
+# fat slope spread: at ~3-7 ms compute/set the tunnel's 15-25 ms dispatch
+# latency is comparable to a whole small batch, and the original B=1/3
+# slope could invert or halve under jitter (probe_cascade_stages2's
+# dispatch-share analysis); 2/8 gives 3x the spread with the same method
+B_SMALL, B_BIG = 2, 8
 REPEATS = 8
 MAX_ROUNDS = 4
 
 
-def _make(jax, jnp, batch):
+def _make(jax, jnp, batch, cascade=False):
     from stereovisionarray_tpu.config import EngineConfig
     from stereovisionarray_tpu.datasets import SceneSpec, reference_rig, render_camera_array
     from stereovisionarray_tpu.models import array_depth_pipeline
 
     cams = reference_rig(rows=ROWS, cols=COLS, spacing=0.05, resolution=(H, W))
     images, _ = render_camera_array(cams, (H, W), SceneSpec())
-    cfg = EngineConfig().override(**{
+    overrides = {
         "camera.rows": ROWS,
         "camera.cols": COLS,
         "plane_sweep.num_planes": PLANES,
@@ -51,7 +55,11 @@ def _make(jax, jnp, batch):
         # and Mosaic already hides the MXU warp under it (within-run A/B
         # 5.08 vs 4.94 ms, scripts/perf_array_stages.py sweep_volume_8bit)
         # — so the bench keeps the r2-comparable default path
-    })
+    }
+    if cascade:
+        overrides["plane_sweep.cascade"] = True
+        overrides["plane_sweep.cascade_fine_planes"] = 48
+    cfg = EngineConfig().override(**overrides)
 
     stack = np.stack([images] * batch)  # (B, N, H, W)
 
@@ -72,14 +80,17 @@ def _timed(run, x, salt):
 
 
 def main():
+    import sys
+
+    cascade = "--cascade" in sys.argv
     import jax
 
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    small = _make(jax, jnp, B_SMALL)
-    big = _make(jax, jnp, B_BIG)
+    small = _make(jax, jnp, B_SMALL, cascade=cascade)
+    big = _make(jax, jnp, B_BIG, cascade=cascade)
     for run, x in (small, big):  # compile + warm twice
         _timed(run, x, 0.125)
         _timed(run, x, 0.25)
@@ -112,7 +123,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "array_pipeline_throughput",
+                "metric": "array_pipeline_throughput"
+                + ("_cascade" if cascade else ""),
                 "value": round(sets_per_s, 4),
                 "unit": "frame_sets/s",
                 "vs_baseline": round(sets_per_s / REF_EST_SETS_PER_S, 1),

@@ -310,7 +310,7 @@ def check_plane_sweep_depth_end_to_end():
 def check_cascade_sweep_end_to_end():
     """Cascade plane sweep both backends on device: the fine pass feeds the
     fused MXU sweep kernel EXPLICIT residual shifts (positive and negative,
-    not camera-derived) and the coarse pass runs it at 135x180 — input
+    not camera-derived) and the coarse pass runs it at 68x90 — input
     patterns no other on-device check exercises."""
     from stereovisionarray_tpu.config import EngineConfig, SGMConfig
     from stereovisionarray_tpu.datasets import (
@@ -346,8 +346,8 @@ def check_cascade_sweep_end_to_end():
     def run(backend):
         return cascade_plane_sweep_depth(
             images, cams, ref_index, src_indices, cfg.plane_sweep, sgm,
-            shift_pad=pad, coarse_factor=2, fine_planes=48, band_step=8,
-            band_offsets=bo, fine_shift_pad=fp, backend=backend,
+            shift_pad=pad, coarse_factor=4, fine_planes=48, band_step=8,
+            band_offsets=bo, backend=backend,
         )
 
     out_p, out_x = run("pallas"), run("xla")

@@ -4,12 +4,18 @@ Measures the claim in ``models/cascade_sweep.py`` at the flagship array
 bench config (5x5 views, 270x360, 128 planes, CROSS topology — the
 reference's ``main()`` working class,
 ``/root/reference/src/CameraStereoVision.cpp:10-123``): a coarse pass at
-half resolution + a per-pixel banded fine pass vs the flat 128-plane sweep,
-both through the full ``array_depth_pipeline`` (sweep + SGM + refine).
+quarter resolution + a per-pixel banded fine pass vs the flat 128-plane
+sweep, both through the full ``array_depth_pipeline`` (sweep + SGM +
+refine).
 
-Timing follows bench.py's tunnel rules: several frame-sets per jitted
-dispatch via lax.map, two-batch-size SLOPE to cancel dispatch latency,
-scalar-reduce host fetch fences, salted inputs.
+Timing: the two-batch slope with a FAT spread — K=4 vs K=12 frame-sets per
+jitted lax.map dispatch, scalar-reduce fences, salted inputs, medians —
+per-set = (T(12) - T(4)) / 8. The tunnel's per-dispatch latency is ~15-25
+ms, comparable to the whole batch's compute at this shape: the original
+B=1/3 slope inverted under that jitter (once read the cascade 13% slower),
+and K=8 fenced absolutes carry a ~3 ms/set dispatch share that masquerades
+as per-call fixed cost (probe_cascade_stages2's D-sweep intercept). The
+fat slope cancels dispatch with 3x the spread of B=1/3.
 
 Accuracy: the ray-traced synthetic rig with exact GT (make_array_eval.py's
 scene) at the SAME 270x360 scale, scored on the interior for both
@@ -36,20 +42,15 @@ _CACHE_DIR = os.path.join(
 ROWS = COLS = 5
 H, W = 270, 360
 PLANES = 128
-FINE, STEP, FACTOR = 48, 8, 2
-
-
-def _timed(fn, x, salt):
-    t0 = time.perf_counter()
-    float(fn(x + salt))
-    return time.perf_counter() - t0
+FINE, STEP, FACTOR = 48, 8, 4
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--repeats", type=int, default=9)
-    ap.add_argument("--batches", type=int, nargs=2, default=[1, 3])
+    ap.add_argument("--sets", type=int, nargs=2, default=[4, 12],
+                    help="small/big frame-sets per dispatch for the slope")
     ap.add_argument("--fine", type=int, default=FINE)
     ap.add_argument("--factor", type=int, default=FACTOR)
     ap.add_argument("--out", default="EVAL_CASCADE_SWEEP_r04.json")
@@ -90,7 +91,13 @@ def main():
         "plane_sweep.cascade_band_step": STEP,
     })
 
-    def batcher(cfg, n):
+    k_small, k_big = args.sets
+    stacks = {
+        k: jax.device_put(jnp.asarray(np.stack([images] * k)))
+        for k in (k_small, k_big)
+    }
+
+    def batcher(cfg):
         @jax.jit
         def run(batched):
             def one(imgs):
@@ -98,29 +105,33 @@ def main():
 
             return jnp.sum(jax.lax.map(one, batched))
 
-        stack = np.stack([images] * n)
-        return run, jax.device_put(jnp.asarray(stack))
+        return run
 
-    nb_s, nb_b = args.batches
     report = {
         "shape": [ROWS * COLS, H, W, PLANES],
+        "method": f"K={k_small}/{k_big} sets/dispatch fat slope "
+                  "(dispatch latency cancelled)",
         "cascade": {"factor": args.factor, "fine": args.fine, "step": STEP},
     }
 
     for name, cfg in [("flat", cfg_flat), ("cascade", cfg_casc)]:
-        fs, xs = batcher(cfg, nb_s)
-        fb, xb = batcher(cfg, nb_b)
-        for k in range(3):
-            _timed(fs, xs, 0.2 + 0.01 * k)
-            _timed(fb, xb, 0.2 + 0.01 * k)
+        run = batcher(cfg)
+        for k in (k_small, k_big):
+            for w in range(3):
+                float(run(stacks[k] + 0.1 * w))
         ts, tb = [], []
         for i in range(args.repeats):
-            salt = 1.0 + 0.1 * i
-            ts.append(_timed(fs, xs, salt))
-            tb.append(_timed(fb, xb, salt + 0.05))
-        per = (statistics.median(tb) - statistics.median(ts)) / (nb_b - nb_s)
+            t0 = time.perf_counter()
+            float(run(stacks[k_small] + 1.0 + 0.05 * i))
+            ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(run(stacks[k_big] + 1.02 + 0.05 * i))
+            tb.append(time.perf_counter() - t0)
+        per = (statistics.median(tb) - statistics.median(ts)) / (k_big - k_small)
         report[name + "_ms_per_set"] = round(per * 1e3, 3)
-        report[name + "_sustained_ms"] = round(statistics.median(tb) / nb_b * 1e3, 3)
+        report[name + "_sustained_ms"] = round(
+            statistics.median(tb) / k_big * 1e3, 3
+        )
         print(name, report[name + "_ms_per_set"], "ms/set", flush=True)
 
     if report["cascade_ms_per_set"] > 0 and report["flat_ms_per_set"] > 0:

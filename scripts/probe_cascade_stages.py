@@ -198,6 +198,79 @@ def full_cascade(imgs):
     return jnp.sum(out.depth)
 
 
+def timed_vmap(name, fn, x):
+    """Same stage but batch-FOLDED: one vmapped program instead of a
+    lax.map loop — at small shapes the per-op fixed cost amortizes over
+    the batch (the opposite regime from probe_frame_batch's production-
+    shape parity result)."""
+    jfn = jax.jit(lambda s: jnp.sum(jax.vmap(fn)(s)))
+    for k in range(3):
+        float(jfn(x + 0.1 * k))
+    ts = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        float(jfn(x + 1.0 + 0.05 * i))
+        ts.append(time.perf_counter() - t0)
+    med = statistics.median(ts)
+    print(f"{name:28s} {med / K * 1e3:8.3f} ms/set (vmap K={K})", flush=True)
+    return med / K
+
+
+def prewarp_static(imgs):
+    """Pre-warp with HOST-computed static shifts: static slices + lerp that
+    XLA can fuse, instead of 4 dynamic_slice kernels per (band, view)."""
+    src_images = imgs[jnp.asarray(src_indices)]
+    depths_full = 1.0 / np.linspace(1.0 / ps.z_near, 1.0 / ps.z_far, PLANES)
+    t = np.asarray(cams.t)
+    fx = np.broadcast_to(np.asarray(cams.fx), (len(cams),))
+    fy = np.broadcast_to(np.asarray(cams.fy), (len(cams),))
+    band = (imgs[ref_index].astype(jnp.int32) % N_BANDS)
+    bv = jnp.broadcast_to(band, (4, H, W))
+    p = pad + 1
+    padded = jnp.pad(src_images, ((0, 0), (p, p), (p, p)))
+    wsrc = jnp.zeros((4, H, W), jnp.float32)
+    step_inv = (1.0 / ps.z_far - 1.0 / ps.z_near) / (PLANES - 1)
+    for b in range(N_BANDS):
+        per_view = []
+        for vi, s in enumerate(src_indices):
+            su = fx[s] * (t[s, 0] - t[ref_index, 0]) * (
+                1.0 / depths_full[0] + step_inv * STEP * b * (PLANES - 1)
+                / (PLANES - 1))
+            # exact: su at plane q*b
+            su = fx[s] * (t[s, 0] - t[ref_index, 0]) * (
+                1.0 / ps.z_near + step_inv * STEP * b)
+            sv = fy[s] * (t[s, 1] - t[ref_index, 1]) * (
+                1.0 / ps.z_near + step_inv * STEP * b)
+            j0, i0 = int(np.floor(sv)), int(np.floor(su))
+            fv, fu = sv - j0, su - i0
+            sl = lambda dy, dx: jax.lax.slice(
+                padded[vi], (p + j0 + dy, p + i0 + dx),
+                (p + j0 + dy + H, p + i0 + dx + W))
+            top = sl(0, 0) * (1 - fu) + sl(0, 1) * fu
+            bot = sl(1, 0) * (1 - fu) + sl(1, 1) * fu
+            per_view.append(top * (1 - fv) + bot * fv)
+        wsrc = wsrc + jnp.where(bv == b, jnp.stack(per_view), 0.0)
+    return jnp.sum(wsrc)
+
+
+def coarse_post_cheap(imgs):
+    """median + window-5 speckle + fill + reshape-broadcast linear upsample
+    (no jax.image.resize)."""
+    k = imgs[ref_index, :H // FACTOR, :W // FACTOR] % D_C
+    v = k > 1.0
+    k = median3x3(k, v)
+    k, v = speckle_filter(k, v, max_diff=2.0, window=5, min_support=8)
+    k, v = fill_holes(k, v, take="max")
+    k = jnp.where(v, k, (D_C - 1) / 2.0)
+    k = k * ((PLANES - 1) / (D_C - 1))
+    # nearest upsample by FACTOR via broadcast-reshape (band quantization
+    # absorbs the sub-plane loss vs bilinear)
+    up = jnp.broadcast_to(
+        k[:, None, :, None], (H // FACTOR, FACTOR, W // FACTOR, FACTOR)
+    ).reshape(H, W)
+    return jnp.sum(up)
+
+
 def main():
     print(f"backend {jax.default_backend()}  D={PLANES} Dc={D_C} Df={FINE} "
           f"bands={N_BANDS} pad={pad} fine_pad={fp}", flush=True)
@@ -209,6 +282,12 @@ def main():
     timed("prewarp", prewarp, stack)
     timed("fine_volume", fine_volume, stack)
     timed("fine_volume+maps", fine_maps, stack)
+    print("---- candidate fixes ----", flush=True)
+    timed("prewarp_static", prewarp_static, stack)
+    timed("coarse_post_cheap", coarse_post_cheap, stack)
+    timed_vmap("coarse_full_vmap", coarse_full, stack)
+    timed_vmap("cascade_full_vmap", full_cascade, stack)
+    timed_vmap("fine_volume_vmap", fine_volume, stack)
 
 
 if __name__ == "__main__":

@@ -120,10 +120,13 @@ class PlaneSweepConfig:
     # cascade_band_step planes); translation-only rigs only. The fine
     # window must be wide enough to absorb coarse error + per-view band
     # misalignment — below ~num_planes/3 the band-boundary error rate
-    # climbs steeply (tests/test_cascade_sweep.py)
+    # climbs steeply (tests/test_cascade_sweep.py). factor 4 both times
+    # FASTER and scores better bad-2 than factor 2 at the bench config
+    # (the speckle filter catches the coarser pass's blunders;
+    # probe_cascade_stages2.py)
     cascade: bool = False
-    cascade_coarse_factor: int = 2
-    cascade_fine_planes: int = 32
+    cascade_coarse_factor: int = 4
+    cascade_fine_planes: int = 48
     cascade_band_step: int = 8
 
 

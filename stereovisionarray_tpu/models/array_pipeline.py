@@ -192,7 +192,7 @@ def array_depth_pipeline(
                 "(general rigs have non-linear per-plane warps)"
             )
         ps = cfg.plane_sweep
-        band_offsets, fine_pad = cascade_static_params(
+        band_offsets, _ = cascade_static_params(
             cameras, ref_index, src_indices, ps, ps.cascade_fine_planes
         )
         sweep = cascade_plane_sweep_depth(
@@ -208,7 +208,8 @@ def array_depth_pipeline(
             fine_planes=ps.cascade_fine_planes,
             band_step=ps.cascade_band_step,
             band_offsets=band_offsets,
-            fine_shift_pad=fine_pad,
+            # fine_shift_pad deliberately None: the tight pad measured
+            # ~20% SLOWER (probe_cascade_stages2.py, cascade_static_params)
         )
     else:
         sweep = plane_sweep_depth(

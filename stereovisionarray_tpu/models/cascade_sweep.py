@@ -103,6 +103,33 @@ def _pad_to_multiple(imgs: jnp.ndarray, s: int) -> jnp.ndarray:
     return imgs
 
 
+def _upsample_bilinear(k: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(h, w) -> (h*s, w*s) with ``jax.image.resize(method="linear")``
+    semantics for integer factors (half-pixel centers, edge clamp), as
+    ~4*s static slices + lerps. Per-op fixed cost dominates every stage at
+    coarse-map shapes (probe_cascade_stages.py), so the op count is the
+    cost — resize's general lowering is a fatter graph."""
+    def axis_up(x, axis):
+        n = x.shape[axis]
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 1)
+        xp = jnp.pad(x, pad, mode="edge")
+        phases = []
+        for p in range(s):
+            c = (p - (s - 1) / 2.0) / s  # coarse offset of fine phase p
+            b = 1 + int(np.floor(c))
+            a = float(c - np.floor(c))
+            lo = jax.lax.slice_in_dim(xp, b, b + n, axis=axis)
+            hi = jax.lax.slice_in_dim(xp, b + 1, b + 1 + n, axis=axis)
+            phases.append(lo * (1.0 - a) + hi * a)
+        st = jnp.stack(phases, axis=axis + 1)
+        shape = list(x.shape)
+        shape[axis] = n * s
+        return st.reshape(shape)
+
+    return axis_up(axis_up(k, 0), 1)
+
+
 def cascade_static_params(
     cameras: CameraArray,
     ref_index: int,
@@ -118,9 +145,12 @@ def cascade_static_params(
       view's band-field read on the fine window's midpoint (halves the
       worst-case band misalignment from ``|c_v| * D_fine`` to half that);
     - ``fine_pad``: static bound on the fine pass's residual shifts
-      ``|c_v| * (D_fine - 1)`` — the Pallas sweep kernel keeps
-      pad-extended sources VMEM-resident, so a tight pad saves real VMEM
-      vs reusing the full-range ``shift_pad``.
+      ``|c_v| * (D_fine - 1)``. NOTE: production callers should pass
+      ``fine_shift_pad=None`` (reuse the full-range ``shift_pad``): the
+      tight pad MEASURED ~20% SLOWER on device at the bench config
+      (volume D=48 pad=11 6.03 vs pad=48 5.07 ms/set,
+      probe_cascade_stages2.py — smaller padded blocks worsen the kernel's
+      block geometry). Returned for experiments only.
 
     Returns ``(None, None)`` for traced cameras; the cascade then skips
     centering and falls back to ``shift_pad``.
@@ -167,8 +197,8 @@ def cascade_plane_sweep_depth(
     mask: Optional[jnp.ndarray] = None,
     backend: str = "auto",
     shift_pad: int = 0,
-    coarse_factor: int = 2,
-    fine_planes: int = 32,
+    coarse_factor: int = 4,
+    fine_planes: int = 48,
     band_step: int = 8,
     band_offsets: Optional[tuple] = None,
     fine_shift_pad: Optional[int] = None,
@@ -222,14 +252,20 @@ def cascade_plane_sweep_depth(
     )
 
     # a coarse blunder poisons a whole fine band: median + speckle suppress
-    # isolated blunders; occlusion holes get the BACKGROUND (max-index) band
+    # isolated blunders; occlusion holes get the BACKGROUND (max-index) band.
+    # Every op here costs fixed ~10-25us regardless of the (tiny) coarse
+    # shape (probe_cascade_stages.py) — window/span are chosen for op COUNT
+    # (speckle w5 = 25 shifted compares vs 81; fill span 32 = 5 doubling
+    # steps; a coarse occlusion hole wider than 32 coarse px would need a
+    # disparity range far beyond the plane bracket)
     kc = median3x3(coarse.plane, coarse.valid)
-    kc, vc = speckle_filter(kc, coarse.valid, max_diff=2.0)
-    kc, vc = fill_holes(kc, vc, take="max")
+    kc, vc = speckle_filter(kc, coarse.valid, max_diff=2.0, window=5,
+                            min_support=8)
+    kc, vc = fill_holes(kc, vc, take="max", max_span=32)
     kc = jnp.where(vc, kc, (d_coarse - 1) / 2.0)
 
     ratio = (total - 1) / max(d_coarse - 1, 1)
-    k_up = jax.image.resize(kc * ratio, imgs_p.shape[1:], method="linear")[:h, :w]
+    k_up = _upsample_bilinear(kc * ratio, s)[:h, :w]
 
     # ---- per-pixel band starts ---------------------------------------------
     n_bands = (total - df) // q + 1

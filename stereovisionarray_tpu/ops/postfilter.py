@@ -171,6 +171,10 @@ def fill_holes(
         raise ValueError(f"take must be 'min' or 'max', got {take!r}")
     v = valid if valid is not None else disp >= 0
     span = int(max_span) if max_span is not None else int(disp.shape[1])
+    # a doubling jump >= the row width would shift the whole row out of
+    # frame (and _shifted would mis-shape); the row width always bounds
+    # the useful span
+    span = min(span, int(disp.shape[1]))
     lval, lhas = _propagate(disp, v, +1, span)
     rval, rhas = _propagate(disp, v, -1, span)
     both = lhas & rhas

@@ -278,8 +278,6 @@ def _census_sweep_impl(
     ref, src_images, shifts, *, patch, shift_pad, valid_mean, interpret,
     axis_flags, sources_8bit=False,
 ):
-    from stereovisionarray_tpu.ops.census import census_transform
-
     s_views, h, w = src_images.shape
     d_planes = shifts.shape[0]
     M = patch // 2
@@ -310,19 +308,27 @@ def _census_sweep_impl(
     sc = jnp.stack([y0, x0], axis=-1)  # (D, S, 2) int32
     fr = jnp.stack([fv, fu], axis=-1).astype(jnp.float32)
 
-    # unpack the reference census into per-neighbour SIGN planes
-    # (1 - 2*bit) plus the per-pixel bit-count base — the kernel
-    # accumulates hamming directly as signed f32 selects (in-kernel u32
-    # bit packing miscompiles on this toolchain, see _sweep_kernel)
-    ref_codes = census_transform(ref.astype(jnp.float32), (patch, patch))
-    refbits = jnp.stack(
+    # reference census as per-neighbour SIGN planes (1 - 2*bit) plus the
+    # per-pixel bit-count base — the kernel accumulates hamming directly as
+    # signed f32 selects (in-kernel u32 bit packing miscompiles on this
+    # toolchain, see _sweep_kernel). Built DIRECTLY from the image as one
+    # stacked (n_bits, H, W) comparison: the old census_transform+unpack
+    # route cost ~220 tiny XLA ops, the dominant share of a measured ~3 ms
+    # PER-CALL fixed cost (probe_cascade_stages2.py plane-count fit) that
+    # dwarfed the coarse cascade pass. Bit order matches census_transform's
+    # (dy, dx) enumeration; comparisons are the same edge-padded f32
+    # neighbor < center, so the kernel output is bit-identical.
+    ref32 = ref.astype(jnp.float32)
+    pad_ref = jnp.pad(ref32, ((M, M), (M, M)), mode="edge")
+    neighbors = jnp.stack(
         [
-            ((ref_codes[..., b // 32] >> jnp.uint32(b % 32)) & 1).astype(
-                jnp.int32
-            )
-            for b in range(n_bits)
+            jax.lax.slice(pad_ref, (dy + M, dx + M), (dy + M + h, dx + M + w))
+            for dy in range(-M, M + 1)
+            for dx in range(-M, M + 1)
+            if not (dy == 0 and dx == 0)
         ]
     )  # (n_bits, H, W)
+    refbits = (neighbors < ref32[None]).astype(jnp.int32)
     sgn = (1 - 2 * refbits).astype(jnp.float32)
     base = jnp.sum(refbits, axis=0).astype(jnp.float32)  # (H, W)
 
