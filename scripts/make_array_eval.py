@@ -72,6 +72,23 @@ def main():
         "frac_rel_err_lt_1pct_refined": round(float((rerr_ref < 0.01).mean()), 4),
         "density": round(float(sel.sum() / inner.sum()), 4),
     }
+
+    # cascade variant (models/cascade_sweep.py production defaults) on the
+    # same fixture — the EVAL_CASCADE_SWEEP perf artifact's accuracy twin
+    out_c = array_depth_pipeline(
+        jnp.asarray(images), cams,
+        cfg.override(**{"plane_sweep.cascade": True}), ref_index=ref_index,
+    )
+    valid_c = np.asarray(out_c.valid)
+    sel_c = valid_c & inner
+    rerr_c = np.abs(
+        (np.abs(np.asarray(out_c.refined_depth)) - gt)[sel_c] / gt[sel_c]
+    )
+    payload["cascade"] = {
+        "median_rel_depth_err_refined": round(float(np.median(rerr_c)), 5),
+        "frac_rel_err_lt_1pct_refined": round(float((rerr_c < 0.01).mean()), 4),
+        "density": round(float(sel_c.sum() / inner.sum()), 4),
+    }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
