@@ -180,6 +180,13 @@ def array_depth_pipeline(
             mask = jnp.ones((h, w), dtype=bool)
 
     shift_pad = _shift_warp_pad(cameras, ref_index, src_indices, cfg)
+    if (
+        cfg.plane_sweep.cascade
+        and cfg.plane_sweep.num_planes <= cfg.plane_sweep.cascade_fine_planes
+    ):
+        # the whole range fits one fine window: the cascade would only add
+        # a coarse pass on top of the identical sweep — run flat
+        cfg = cfg.override(**{"plane_sweep.cascade": False})
     if cfg.plane_sweep.cascade:
         from stereovisionarray_tpu.models.cascade_sweep import (
             cascade_plane_sweep_depth,

@@ -238,7 +238,11 @@ def cascade_plane_sweep_depth(
     imgs_p = _pad_to_multiple(images, s)
     d_coarse = -(-total // s)
     d_coarse = -(-d_coarse // 8) * 8  # sublane multiple for the Pallas path
-    cfg_c = dataclasses.replace(cfg, num_planes=d_coarse)
+    # sources_8bit asserts integer-valued [0,255] sources (single-arm exact
+    # bf16 warp, ops/sweep_pallas.py) — NEITHER cascade pass qualifies: the
+    # coarse pass sees area-downsampled means, the fine pass bilinear
+    # pre-warped content. Force the hi/lo split on both.
+    cfg_c = dataclasses.replace(cfg, num_planes=d_coarse, sources_8bit=False)
     coarse = plane_sweep_depth(
         _area_downsample(imgs_p, s),
         _scale_cameras(cameras, s),
@@ -295,7 +299,7 @@ def cascade_plane_sweep_depth(
     # ---- fine pass: residual shifts c_v * j over the pre-warped sources ----
     j = jnp.arange(df, dtype=dtype)
     fine_shifts = c[:, None, :] * j[None, :, None]  # (S, Df, 2)
-    cfg_f = dataclasses.replace(cfg, num_planes=df)
+    cfg_f = dataclasses.replace(cfg, num_planes=df, sources_8bit=False)
     vol, _, _ = plane_sweep_volume(
         jnp.concatenate([ref[None], wsrc], axis=0),
         cameras,  # unused: explicit shifts

@@ -161,6 +161,59 @@ class TestCascadeSweep:
         assert (dk <= 1.0).mean() > 0.97
 
 
+def test_sources_8bit_forced_off_inside_cascade():
+    """cfg.sources_8bit asserts integer [0,255] sources, which is false for
+    BOTH cascade passes (area-downsampled coarse, bilinear pre-warped fine)
+    — the cascade must force the exact hi/lo-split path, so setting the
+    flag changes nothing (a leak would alter the Pallas warp arms)."""
+    res = (48, 64)
+    rig = reference_rig(
+        rows=3, cols=3, spacing=0.05, origin=(-0.05, -0.05), resolution=res
+    )
+    imgs, _ = render_camera_array(rig, res)
+    imgs = jnp.asarray(np.round(np.asarray(imgs)))  # integer-valued inputs
+    cfg = dataclasses.replace(CFG, num_planes=32, fusion="mean")
+    bo, _ = cascade_static_params(rig, REF, SRC, cfg, 16)
+
+    def run(flag):
+        return cascade_plane_sweep_depth(
+            imgs, rig, REF, SRC, dataclasses.replace(cfg, sources_8bit=flag),
+            SGM, shift_pad=8, coarse_factor=2, fine_planes=16, band_step=8,
+            band_offsets=bo, backend="pallas_interpret",
+        )
+
+    a, b = run(False), run(True)
+    np.testing.assert_array_equal(np.asarray(a.plane), np.asarray(b.plane))
+    np.testing.assert_array_equal(np.asarray(a.cost), np.asarray(b.cost))
+
+
+def test_array_pipeline_cascade_falls_back_when_range_fits_window():
+    """plane_sweep.cascade with num_planes <= cascade_fine_planes must run
+    the flat sweep (identical output), not raise."""
+    res = (48, 64)
+    rig = reference_rig(
+        rows=3, cols=3, spacing=0.05, origin=(-0.05, -0.05), resolution=res
+    )
+    imgs, _ = render_camera_array(rig, res)
+    imgs = jnp.asarray(imgs)
+    from stereovisionarray_tpu.models import array_depth_pipeline
+
+    base = {
+        "camera.rows": 3, "camera.cols": 3,
+        "plane_sweep.num_planes": 32, "plane_sweep.topology": "CROSS",
+        "refine.iterations": 0,
+    }
+    flat = array_depth_pipeline(
+        imgs, rig, EngineConfig().override(**base), ref_index=4
+    )
+    casc = array_depth_pipeline(
+        imgs, rig,
+        EngineConfig().override(**{**base, "plane_sweep.cascade": True}),
+        ref_index=4,
+    )
+    np.testing.assert_array_equal(np.asarray(flat.depth), np.asarray(casc.depth))
+
+
 def test_array_pipeline_cascade_config(rig_data=None):
     """array_depth_pipeline(plane_sweep.cascade=True) runs end-to-end and
     lands near the flat pipeline on the 3x3 rig."""
