@@ -121,7 +121,7 @@ def two_view_metrics(level: int, rng, cost_overrides=None,
     }
 
 
-def array_metrics(level: int, rng) -> dict:
+def array_metrics(level: int, rng, cascade: bool = False) -> dict:
     from stereovisionarray_tpu.config import EngineConfig
     from stereovisionarray_tpu.datasets import (
         SceneSpec, reference_rig, render_camera_array,
@@ -137,6 +137,7 @@ def array_metrics(level: int, rng) -> dict:
     cfg = EngineConfig().override(**{
         "camera.rows": rows, "camera.cols": cols,
         "plane_sweep.num_planes": 96, "plane_sweep.topology": "CROSS",
+        "plane_sweep.cascade": cascade,
         "refine.radius": 3, "refine.window": 11,
     })
     out = array_depth_pipeline(jnp.asarray(images), cams, cfg,
@@ -210,6 +211,11 @@ def main():
                                "uniqueness": 0.97, "lr_max_diff": 2.5},
             ),
             "array": array_metrics(L, np.random.default_rng(200 + L)),
+            # does noise break the cascade's coarse band placement? Same
+            # perturbed views, plane_sweep.cascade=true production defaults
+            "array_cascade": array_metrics(
+                L, np.random.default_rng(200 + L), cascade=True
+            ),
             "face": face_metrics(L, np.random.default_rng(300 + L)),
         }
         levels[f"level_{L}"] = entry

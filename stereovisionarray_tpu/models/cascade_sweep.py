@@ -32,7 +32,12 @@ band-local (evaluated in ``tests/test_cascade_sweep.py``):
   ``|c_v| * D_fine / 2`` px (~a few px) of band misalignment — harmless
   where ``B`` is locally constant, confined to band boundaries elsewhere;
 - the pre-warp is bilinear, so the fine pass resamples already-interpolated
-  content (one extra bilinear blur, <= half a pixel of support).
+  content (one extra bilinear blur, <= half a pixel of support);
+- the PKRN confidence is computed WITHIN the fine window: a band placed
+  wrong by the coarse pass can score confidently wrong (the flat sweep's
+  confidence sees the whole range). Downstream gates that must catch such
+  pixels should also test multi-view support (fusion's consistency vote
+  does).
 
 Out-of-view masking: the fine kernels see only residual shifts, so their
 per-plane view counts are computed in the pre-warped frame and are
