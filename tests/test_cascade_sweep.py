@@ -101,6 +101,23 @@ class TestCascadeSweep:
         assert (nv[~v] < 2).all() or True  # num_views is geometric, valid gates on it
         assert (nv[v] >= 2).all()
 
+    def test_analytic_view_counts_match_flat(self, rig_data):
+        """The cascade recomputes per-view visibility analytically from the
+        full shifts (the fine kernels only see residual shifts); it must
+        agree with the flat sweep's kernel-side counts wherever the two
+        pipelines pick (nearly) the same plane."""
+        rig, imgs, _ = rig_data
+        casc = _run_cascade(rig, imgs)
+        flat = plane_sweep_depth(imgs, rig, REF, SRC, CFG, SGM,
+                                 shift_pad=SHIFT_PAD)
+        nv_c, nv_f = np.asarray(casc.num_views), np.asarray(flat.num_views)
+        inner = _inner(nv_c.shape)
+        agree = (nv_c == nv_f)[inner].mean()
+        # disagreement is possible only where the two pipelines' plane
+        # choices straddle a view's in-bounds boundary — a thin strip
+        assert agree > 0.99, f"view-count agreement {agree}"
+        assert set(np.unique(nv_c)) <= set(np.unique(nv_f)) | {0}
+
     def test_requires_translation_rig(self, rig_data):
         rig, imgs, _ = rig_data
         with pytest.raises(ValueError, match="translation"):
