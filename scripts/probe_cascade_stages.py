@@ -233,9 +233,6 @@ def prewarp_static(imgs):
     for b in range(N_BANDS):
         per_view = []
         for vi, s in enumerate(src_indices):
-            su = fx[s] * (t[s, 0] - t[ref_index, 0]) * (
-                1.0 / depths_full[0] + step_inv * STEP * b * (PLANES - 1)
-                / (PLANES - 1))
             # exact: su at plane q*b
             su = fx[s] * (t[s, 0] - t[ref_index, 0]) * (
                 1.0 / ps.z_near + step_inv * STEP * b)

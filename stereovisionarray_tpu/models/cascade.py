@@ -77,18 +77,11 @@ class CascadeOutput(NamedTuple):
     band_offset: Optional[jnp.ndarray] = None  # (H, W) int32 band start
 
 
-def _area_downsample(img: jnp.ndarray, s: int) -> jnp.ndarray:
-    """(H, W) -> (H/s, W/s) area mean; H, W must be multiples of s."""
-    H, W = img.shape
-    return img.reshape(H // s, s, W // s, s).mean(axis=(1, 3))
-
-
-def _pad_to_multiple(img: jnp.ndarray, s: int) -> jnp.ndarray:
-    H, W = img.shape
-    ph, pw = (-H) % s, (-W) % s
-    if ph or pw:
-        img = jnp.pad(img, ((0, ph), (0, pw)), mode="edge")
-    return img
+# shared coarse-pass helpers (shape-generic over leading axes)
+from stereovisionarray_tpu.models.cascade_sweep import (  # noqa: E402
+    _area_downsample,
+    _pad_to_multiple,
+)
 
 
 def _select_shifted(values: jnp.ndarray, index: jnp.ndarray, shifts) -> jnp.ndarray:

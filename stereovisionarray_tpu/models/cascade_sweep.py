@@ -95,16 +95,20 @@ def _scale_cameras(cameras: CameraArray, s: int) -> CameraArray:
 
 
 def _area_downsample(imgs: jnp.ndarray, s: int) -> jnp.ndarray:
-    """(N, H, W) -> (N, H/s, W/s) area mean; H, W must be multiples of s."""
-    n, h, w = imgs.shape
-    return imgs.reshape(n, h // s, s, w // s, s).mean(axis=(2, 4))
+    """(..., H, W) -> (..., H/s, W/s) area mean; H, W must be multiples of
+    s. Shared with the two-view cascade (models/cascade.py)."""
+    h, w = imgs.shape[-2:]
+    shape = imgs.shape[:-2] + (h // s, s, w // s, s)
+    return imgs.reshape(shape).mean(axis=(-3, -1))
 
 
 def _pad_to_multiple(imgs: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Edge-pad the trailing (H, W) axes up to multiples of s."""
     h, w = imgs.shape[-2:]
     ph, pw = (-h) % s, (-w) % s
     if ph or pw:
-        imgs = jnp.pad(imgs, ((0, 0), (0, ph), (0, pw)), mode="edge")
+        pad = [(0, 0)] * (imgs.ndim - 2) + [(0, ph), (0, pw)]
+        imgs = jnp.pad(imgs, pad, mode="edge")
     return imgs
 
 
@@ -227,9 +231,9 @@ def cascade_plane_sweep_depth(
                          "fast path (shift_pad > 0)")
     if total <= df:
         raise ValueError("total planes <= fine_planes: use plane_sweep_depth")
-    if (total - df) % q or df % q or df < 2 * q:
-        raise ValueError("need band_step | fine_planes, band_step | "
-                         "(num_planes - fine_planes), fine_planes >= 2*band_step")
+    if df < 2 * q:
+        raise ValueError("fine_planes must be >= 2*band_step (the window "
+                         "must out-margin the band quantization)")
 
     dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
     images = images.astype(dtype)
@@ -277,9 +281,13 @@ def cascade_plane_sweep_depth(
     k_up = _upsample_bilinear(kc * ratio, s)[:h, :w]
 
     # ---- per-pixel band starts ---------------------------------------------
-    n_bands = (total - df) // q + 1
+    # band b starts at min(b*q, total-df): the last band CLAMPS to the top
+    # of the range so any (num_planes, fine_planes, band_step) combination
+    # covers every plane (no divisibility requirement); min() keeps the
+    # start a closed-form function of the band index — no table lookup
+    n_bands = -(-(total - df) // q) + 1
     band = jnp.clip(jnp.round((k_up - 0.5 * df) / q).astype(jnp.int32), 0, n_bands - 1)
-    offset = (band * q).astype(dtype)  # (H, W) plane-index band start
+    offset = jnp.minimum(band * q, total - df).astype(dtype)  # (H, W) band start
 
     # ---- band pre-warp of every source view --------------------------------
     depths_full = inverse_depth_samples(cfg.z_near, cfg.z_far, total, dtype=dtype)
@@ -299,7 +307,8 @@ def cascade_plane_sweep_depth(
     for b in range(n_bands):
         # one-hot select over STATIC per-band shifts — never a per-pixel
         # gather (serializes on TPU; see ops/wta.py::_value_at)
-        wsrc = wsrc + jnp.where(bv == b, warp_one(padded, a + c * (q * b)), 0.0)
+        start_b = min(b * q, total - df)
+        wsrc = wsrc + jnp.where(bv == b, warp_one(padded, a + c * start_b), 0.0)
 
     # ---- fine pass: residual shifts c_v * j over the pre-warped sources ----
     j = jnp.arange(df, dtype=dtype)

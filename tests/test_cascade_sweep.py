@@ -130,7 +130,7 @@ class TestCascadeSweep:
         with pytest.raises(ValueError):
             cascade_plane_sweep_depth(
                 imgs, rig, REF, SRC, CFG, SGM, shift_pad=SHIFT_PAD,
-                fine_planes=30, band_step=8,  # 30 not a multiple of 8
+                fine_planes=12, band_step=8,  # window < 2x band step
             )
         with pytest.raises(ValueError):
             cascade_plane_sweep_depth(
@@ -138,6 +138,24 @@ class TestCascadeSweep:
                 dataclasses.replace(CFG, num_planes=24), SGM,
                 shift_pad=SHIFT_PAD, fine_planes=32,  # total <= fine
             )
+
+    def test_non_divisible_range_clamps_last_band(self, rig_data):
+        """(num_planes - fine_planes) need NOT divide band_step: the last
+        band start clamps to num_planes - fine_planes so the full range
+        stays reachable (review finding r4)."""
+        rig, imgs, deps = rig_data
+        cfg = dataclasses.replace(CFG, num_planes=60)  # (60-32) % 8 = 4
+        bo, _ = cascade_static_params(rig, REF, SRC, cfg, 32)
+        out = cascade_plane_sweep_depth(
+            imgs, rig, REF, SRC, cfg, SGM, shift_pad=SHIFT_PAD,
+            coarse_factor=2, fine_planes=32, band_step=8, band_offsets=bo,
+        )
+        d, v = np.asarray(out.depth), np.asarray(out.valid)
+        gt = deps[REF]
+        sel = v & _inner(v.shape)
+        rel = np.abs(d[sel] - gt[sel]) / gt[sel]
+        assert np.asarray(out.plane).max() <= 59.5
+        assert rel.mean() < 0.02, f"mean rel {rel.mean()}"
 
     def test_static_params_traced_cameras(self, rig_data):
         rig, _, _ = rig_data
