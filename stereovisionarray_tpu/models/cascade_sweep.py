@@ -187,58 +187,38 @@ def cascade_static_params(
     return tuple(offsets), fine_pad
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ref_index", "src_indices", "cfg", "sgm_cfg", "min_views", "backend",
-        "shift_pad", "coarse_factor", "fine_planes", "band_step",
-        "band_offsets", "fine_shift_pad",
-    ),
-)
-def cascade_plane_sweep_depth(
+def _coarse_band_prewarp(
     images: jnp.ndarray,
     cameras: CameraArray,
     ref_index: int,
     src_indices: tuple,
-    cfg: PlaneSweepConfig = PlaneSweepConfig(),
-    sgm_cfg: Optional[SGMConfig] = SGMConfig(lr_max_diff=0.0),
-    min_views: int = 2,
-    mask: Optional[jnp.ndarray] = None,
-    backend: str = "auto",
-    shift_pad: int = 0,
-    coarse_factor: int = 4,
-    fine_planes: int = 48,
-    band_step: int = 8,
-    band_offsets: Optional[tuple] = None,
-    fine_shift_pad: Optional[int] = None,
-) -> PlaneSweepOutput:
-    """Drop-in :func:`plane_sweep_depth` for large plane counts on
-    translation-only rigs (``shift_pad > 0`` REQUIRED — general rigs have
-    non-linear per-plane warps and must use the flat sweep).
+    cfg: PlaneSweepConfig,
+    sgm_cfg: Optional[SGMConfig],
+    *,
+    min_views: int,
+    backend: str,
+    shift_pad: int,
+    coarse_factor: int,
+    fine_planes: int,
+    band_step: int,
+    band_offsets: Optional[tuple],
+) -> tuple:
+    """Coarse pass + band field + per-view band pre-warp — everything the
+    cascade does BEFORE the fine sweep. Shared by the single-chip
+    :func:`cascade_plane_sweep_depth` and the plane-sharded program
+    (parallel/cascade_sweep.py), whose fine passes differ.
 
-    ``cfg.num_planes`` is the TOTAL range; the fine pass sweeps a per-pixel
-    ``fine_planes``-wide window positioned by the coarse result (window
-    starts quantized to ``band_step`` planes). Compute
-    ``band_offsets`` / ``fine_shift_pad`` host-side with
-    :func:`cascade_static_params` when the cameras are concrete.
+    Returns ``(wsrc, offset, a, c, depths_full)``: band-pre-warped sources
+    (S, H, W), per-pixel plane-index band starts (H, W), the per-view
+    shift intercepts/steps (S, 2) each, and the full (D,) plane depths.
     """
     total = int(cfg.num_planes)
     s = int(coarse_factor)
     df = int(fine_planes)
     q = int(band_step)
-    if shift_pad <= 0:
-        raise ValueError("cascade_plane_sweep_depth requires the translation "
-                         "fast path (shift_pad > 0)")
-    if total <= df:
-        raise ValueError("total planes <= fine_planes: use plane_sweep_depth")
-    if df < 2 * q:
-        raise ValueError("fine_planes must be >= 2*band_step (the window "
-                         "must out-margin the band quantization)")
-
     dtype = images.dtype if jnp.issubdtype(images.dtype, jnp.floating) else jnp.float32
     images = images.astype(dtype)
     n, h, w = images.shape
-    ref = images[ref_index]
     src = jnp.asarray(src_indices, dtype=jnp.int32)
     src_images = images[src]
     n_src = len(src_indices)
@@ -309,6 +289,67 @@ def cascade_plane_sweep_depth(
         # gather (serializes on TPU; see ops/wta.py::_value_at)
         start_b = min(b * q, total - df)
         wsrc = wsrc + jnp.where(bv == b, warp_one(padded, a + c * start_b), 0.0)
+    return wsrc, offset, a, c, depths_full
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ref_index", "src_indices", "cfg", "sgm_cfg", "min_views", "backend",
+        "shift_pad", "coarse_factor", "fine_planes", "band_step",
+        "band_offsets", "fine_shift_pad",
+    ),
+)
+def cascade_plane_sweep_depth(
+    images: jnp.ndarray,
+    cameras: CameraArray,
+    ref_index: int,
+    src_indices: tuple,
+    cfg: PlaneSweepConfig = PlaneSweepConfig(),
+    sgm_cfg: Optional[SGMConfig] = SGMConfig(lr_max_diff=0.0),
+    min_views: int = 2,
+    mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+    shift_pad: int = 0,
+    coarse_factor: int = 4,
+    fine_planes: int = 48,
+    band_step: int = 8,
+    band_offsets: Optional[tuple] = None,
+    fine_shift_pad: Optional[int] = None,
+) -> PlaneSweepOutput:
+    """Drop-in :func:`plane_sweep_depth` for large plane counts on
+    translation-only rigs (``shift_pad > 0`` REQUIRED — general rigs have
+    non-linear per-plane warps and must use the flat sweep).
+
+    ``cfg.num_planes`` is the TOTAL range; the fine pass sweeps a per-pixel
+    ``fine_planes``-wide window positioned by the coarse result (window
+    starts quantized to ``band_step`` planes). Compute
+    ``band_offsets`` / ``fine_shift_pad`` host-side with
+    :func:`cascade_static_params` when the cameras are concrete.
+    """
+    total = int(cfg.num_planes)
+    s = int(coarse_factor)
+    df = int(fine_planes)
+    q = int(band_step)
+    if shift_pad <= 0:
+        raise ValueError("cascade_plane_sweep_depth requires the translation "
+                         "fast path (shift_pad > 0)")
+    if total <= df:
+        raise ValueError("total planes <= fine_planes: use plane_sweep_depth")
+    if df < 2 * q:
+        raise ValueError("fine_planes must be >= 2*band_step (the window "
+                         "must out-margin the band quantization)")
+
+    wsrc, offset, a, c, depths_full = _coarse_band_prewarp(
+        images, cameras, ref_index, src_indices, cfg, sgm_cfg,
+        min_views=min_views, backend=backend, shift_pad=shift_pad,
+        coarse_factor=s, fine_planes=df, band_step=q,
+        band_offsets=band_offsets,
+    )
+    dtype = wsrc.dtype
+    n_src = len(src_indices)
+    h, w = offset.shape
+    ref = images.astype(dtype)[ref_index]
 
     # ---- fine pass: residual shifts c_v * j over the pre-warped sources ----
     j = jnp.arange(df, dtype=dtype)

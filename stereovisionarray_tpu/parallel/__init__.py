@@ -32,6 +32,9 @@ from stereovisionarray_tpu.parallel.two_view import (  # noqa: F401
 from stereovisionarray_tpu.parallel.plane_sweep import (  # noqa: F401
     sharded_plane_sweep_depth,
 )
+from stereovisionarray_tpu.parallel.cascade_sweep import (  # noqa: F401
+    sharded_cascade_sweep_depth,
+)
 from stereovisionarray_tpu.parallel.streaming import (  # noqa: F401
     DevicePipeline,
     StreamExecutor,

@@ -459,6 +459,77 @@ class TestShardedPlaneSweep:
             sharded_plane_sweep_depth(batch, cams, 4, src, mesh, cfg)
 
 
+class TestShardedCascadeSweep:
+    """Plane-sharded cascade (parallel/cascade_sweep.py): the banded fine
+    sweep's planes shard like the flat sweep's (coarse pass + band pre-warp
+    replicate across the disp axis)."""
+
+    def _setup(self, b=2):
+        from stereovisionarray_tpu.config import PlaneSweepConfig
+        from stereovisionarray_tpu.datasets import (
+            SceneSpec,
+            reference_rig,
+            render_camera_array,
+        )
+
+        res = (48, 64)
+        cams = reference_rig(rows=3, cols=3, spacing=0.05,
+                             origin=(-0.05, -0.05), resolution=res)
+        images, _ = render_camera_array(cams, res, SceneSpec())
+        batch = np.stack([images + 2.0 * i for i in range(b)])
+        cfg = PlaneSweepConfig(num_planes=32, patch=5, topology="CROSS")
+        return jnp.asarray(batch), cams, cfg, (1, 3, 5, 7)
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 1, 8), (2, 1, 4)])
+    def test_matches_unsharded_cascade(self, mesh_shape):
+        from stereovisionarray_tpu.models.cascade_sweep import (
+            cascade_plane_sweep_depth,
+            cascade_static_params,
+        )
+        from stereovisionarray_tpu.parallel import sharded_cascade_sweep_depth
+
+        batch, cams, cfg, src = self._setup()
+        sgm = SGMConfig(p1=4.0, p2=32.0, num_paths=8, adaptive_p2=True)
+        bo, _ = cascade_static_params(cams, 4, src, cfg, 16)
+        mesh = make_mesh(*mesh_shape)
+        out = sharded_cascade_sweep_depth(
+            batch, cams, 4, src, mesh, cfg, sgm_cfg=sgm, shift_pad=12,
+            coarse_factor=2, fine_planes=16, band_step=4, band_offsets=bo,
+        )
+        for i in range(batch.shape[0]):
+            ref = cascade_plane_sweep_depth(
+                batch[i], cams, 4, src, cfg, sgm, shift_pad=12,
+                coarse_factor=2, fine_planes=16, band_step=4,
+                band_offsets=bo, backend="xla",
+            )
+            both = np.asarray(out.valid[i]) & np.asarray(ref.valid)
+            d_sh, d_ref = np.asarray(out.depth[i]), np.asarray(ref.depth)
+            rel = np.abs(d_sh - d_ref)[both] / np.maximum(d_ref[both], 1e-6)
+            # path-split psum reorders f32 sums vs the single-chip 8-path
+            # aggregation (the TestShardedPlaneSweep tolerance rationale)
+            assert np.median(rel) < 1e-3, f"median rel {np.median(rel)}"
+            assert (rel < 0.02).mean() > 0.97, f"close frac {(rel < 0.02).mean()}"
+            agree = (np.asarray(out.valid[i]) == np.asarray(ref.valid)).mean()
+            assert agree > 0.98, f"valid agreement {agree}"
+            np.testing.assert_array_equal(
+                np.asarray(out.num_views[i]), np.asarray(ref.num_views)
+            )
+
+    def test_rejects_flat_rig_and_tile_axis(self):
+        from stereovisionarray_tpu.parallel import sharded_cascade_sweep_depth
+
+        batch, cams, cfg, src = self._setup()
+        with pytest.raises(ValueError, match="translation"):
+            sharded_cascade_sweep_depth(
+                batch, cams, 4, src, make_mesh(1, 1, 8), cfg, shift_pad=0
+            )
+        with pytest.raises(ValueError, match="tile"):
+            sharded_cascade_sweep_depth(
+                batch, cams, 4, src, make_mesh(1, 2, 4), cfg, shift_pad=12,
+                fine_planes=16, band_step=4,
+            )
+
+
 class TestShardedWTA:
     def test_matches_unsharded(self, rng):
         vol = jnp.asarray(rng.uniform(0, 64, size=(32, 128, 32)).astype(np.float32))
@@ -490,12 +561,21 @@ class TestDispOffset:
 
 
 class TestDistributedBA:
-    def test_matches_single_device(self, rng):
+    def test_matches_single_device(self):
         """Observation-sharded Schur BA must match the replicated solve to
-        float-reduction tolerance (config 5, SURVEY.md §2.2 P5)."""
+        float-reduction tolerance (config 5, SURVEY.md §2.2 P5).
+
+        PINNED local rng, not the shared session stream: the two solves'
+        different f32 reduction orders let a near-degenerate point drift
+        past atol for ~2% of random draws, so the test outcome used to
+        depend on how many session-rng draws earlier tests consumed
+        (failed when the file ran ALONE, passed inside the full suite —
+        the halo test's latent-flakiness pattern, CLAUDE.md)."""
         from stereovisionarray_tpu.geometry.camera import translation_only_array
         from stereovisionarray_tpu.parallel.ba import distributed_bundle_adjust
         from stereovisionarray_tpu.sfm.ba import BAProblem, bundle_adjust
+
+        rng = np.random.default_rng(11)
 
         pos = np.array(
             [[0, 0, -0.75], [0.05, 0, -0.75], [0, 0.05, -0.75], [-0.05, 0, -0.75]],
