@@ -184,18 +184,32 @@ def production_projection():
     halo_bytes = 2 * 2 * halo_rows * Wp * 4  # send+recv, left+right images
     # disparity-sharded: all_gather of the int8 volume chunk + int16 psum
     vol8 = Hp * Wp * Dp  # int8 bytes
+    # config-3 array pipeline (270x360), plane-sharded over n=4: the sweep
+    # phase all_gathers the fused f32 volume chunks ((n-1)/n of the full
+    # volume received per device). The r4 cascade shards its FINE planes
+    # identically (parallel/cascade_sweep.py) — it shrinks compute 2.05x
+    # (6.7 -> 3.3 ms/set, BENCH_ARRAY_CASCADE_r04) AND the gathered volume
+    # 128 -> 48 planes, so its break-even bandwidth is LOWER than flat's
+    # despite the faster step.
+    Ha, Wa = 270, 360
+    array_rows = (
+        ("array_flat_disp_all_gather_f32", int(Ha * Wa * 128 * 4 * 3 / 4), 6.7),
+        ("array_cascade_disp_all_gather_f32", int(Ha * Wa * 48 * 4 * 3 / 4), 3.3),
+    )
     rows = {}
-    for name, bytes_per_frame in (
-        ("tile_halo_exchange", halo_bytes),
-        ("disp_all_gather_int8", int(vol8 * 3 / 4)),
+    for name, bytes_per_frame, t_ms in (
+        ("tile_halo_exchange", halo_bytes, frame_ms),
+        ("disp_all_gather_int8", int(vol8 * 3 / 4), frame_ms),
+        *array_rows,
     ):
         # efficiency e = t_comp / (t_comp + t_coll); t_coll = B / bw
         # break-even bw for e: bw = B / (t_comp * (1/e - 1))
         be = {}
         for e in (0.80, 0.95):
-            bw = bytes_per_frame / (frame_ms * 1e-3 * (1.0 / e - 1.0))
+            bw = bytes_per_frame / (t_ms * 1e-3 * (1.0 / e - 1.0))
             be[f"bw_for_{int(e*100)}pct_eff_GBps"] = round(bw / 1e9, 3)
-        rows[name] = {"bytes_per_frame": bytes_per_frame, **be}
+        rows[name] = {"bytes_per_frame": bytes_per_frame,
+                      "compute_ms": t_ms, **be}
     return {
         "method": "analytic collective volume at 540x768x64 vs the measured "
                   "2.04 ms/frame device time, assuming zero overlap "

@@ -167,3 +167,30 @@ def test_frame_sets_from_dirs_round_trip(setup, tmp_path):
     results = list(stream_depth_maps(iter(stacks), cams, cfg, ref_index=4))
     assert len(results) == 2
     assert np.isfinite(np.asarray(results[0].output.refined_depth)).all()
+
+
+def test_chunked_serving_with_cascade_config(setup):
+    """plane_sweep.cascade=true flows through the chunked serving program
+    (serving only forwards cfg into array_depth_pipeline; this pins the
+    composition end to end: coarse pass + banded fine sweep inside the
+    lax.map chunk body)."""
+    from stereovisionarray_tpu.models import stream_depth_maps_chunked
+
+    cams, cfg, frames, gts = setup
+    ccfg = cfg.override(**{
+        "plane_sweep.cascade": True,
+        "plane_sweep.cascade_coarse_factor": 2,
+        "plane_sweep.cascade_fine_planes": 16,
+        "plane_sweep.cascade_band_step": 4,
+    })
+    results = list(stream_depth_maps_chunked(
+        iter(frames), cams, ccfg, ref_index=4, chunk=2
+    ))
+    assert [r.index for r in results] == [0, 1, 2]
+    for r, gt in zip(results, gts):
+        valid = np.asarray(r.output.valid)
+        inner = np.zeros_like(valid)
+        inner[8:-8, 8:-8] = True
+        sel = valid & inner
+        rerr = (np.abs(np.asarray(r.output.depth) - gt[4]) / gt[4])[sel]
+        assert np.median(rerr) < 0.02, r.index
