@@ -249,6 +249,24 @@ def check_plane_sweep_kernel():
               f"(270x360x128, on-device): interior BIT-EXACT, "
               f"plane agree {agree:.4f}")
 
+    # sub-S top-k fusion: the in-kernel streaming insertion sort vs the
+    # XLA chain's -top_k(-costs) mean. Integer fixture -> both are means
+    # of the same k integer hammings -> interior bit-exact.
+    ps_tk = dataclasses.replace(cfg.plane_sweep, fusion="topk_mean", topk=2)
+    vx, nx, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, ps_tk,
+        shift_pad=pad, backend="xla",
+    )
+    vp, npv, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, ps_tk,
+        shift_pad=pad, backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(npv), np.asarray(nx))
+    d = np.abs(np.asarray(vp) - np.asarray(vx))
+    assert d[inner].max() == 0.0, f"topk interior {d[inner].max()}"
+    print("PASS plane-sweep MXU kernel vs XLA [topk 2-of-4] "
+          "(270x360x128, on-device): interior BIT-EXACT")
+
 
 def check_plane_sweep_depth_end_to_end():
     """Full config-3 pipeline (sweep + 128-plane SGM + subpixel plane) both

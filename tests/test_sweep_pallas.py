@@ -158,23 +158,53 @@ def test_valid_mean_fusion_matches_xla():
 
 
 def test_gate_falls_back_for_ungated_configs():
-    """zncc cost and sub-S top-k keep the XLA path (identical results
-    whatever the backend string)."""
+    """zncc cost keeps the XLA path (identical results whatever the
+    backend string). Sub-S top-k used to be here too — it now routes
+    through the kernel's streaming insertion sort
+    (test_topk_kernel_matches_xla_chain)."""
     cams, images, ps, ref_index, src_indices, pad = _setup()
-    for override in ({"cost": "zncc"}, {"fusion": "topk_mean", "topk": 2}):
-        import dataclasses
+    import dataclasses
 
-        cfg2 = dataclasses.replace(ps, **override)
-        a, na, _ = plane_sweep_volume(
-            images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
-            backend="pallas_interpret",
-        )
-        b, nb, _ = plane_sweep_volume(
-            images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
-            backend="xla",
-        )
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    cfg2 = dataclasses.replace(ps, cost="zncc")
+    a, na, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+        backend="pallas_interpret",
+    )
+    b, nb, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+        backend="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+
+
+@pytest.mark.parametrize("topk", [1, 2, 3])
+def test_topk_kernel_matches_xla_chain(topk):
+    """fusion='topk_mean' with k < S now rides the kernel (streaming
+    k-slot insertion sort). Interior must match the XLA chain's
+    -top_k(-costs) mean within the fma-tie bound (the mean of the k
+    smallest is 1-Lipschitz in the per-view sup diff, which is <= 2
+    census bits at exact lerp ties); nviews exact; border ring bounded by
+    the ceiling as usual."""
+    import dataclasses
+
+    cams, images, ps, ref_index, src_indices, pad = _setup()
+    cfg2 = dataclasses.replace(ps, fusion="topk_mean", topk=topk)
+    a, na, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+        backend="pallas_interpret",
+    )
+    b, nb, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg2, shift_pad=pad,
+        backend="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    m = ps.patch // 2
+    inner = (slice(m, H - m), slice(m, W - m))
+    d = np.abs(np.asarray(a) - np.asarray(b))
+    assert d[inner].max() <= 2.0 + 1e-6
+    assert (d[inner] > 0).mean() < 0.02
+    assert d.max() <= ps.patch * ps.patch - 1
 
 
 def test_sources_8bit_path_bit_identical_on_integer_images():
@@ -196,3 +226,49 @@ def test_sources_8bit_path_bit_identical_on_integer_images():
     )
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v8))
     np.testing.assert_array_equal(np.asarray(n0), np.asarray(n8))
+
+
+def test_many_view_grid_kernel_matches_xla():
+    """> 8 views route to the 2D-grid kernel variant (one view per grid
+    step, scratch accumulation — the Python unroll's live temporaries OOM
+    VMEM at 24 views, measured 230 MB of 128 on device, and a fori-loop
+    over views OOMs SMEM; probe_topk_kernel.py). 5x5 TO_CENTER = 24
+    sources, topk=6 (the library default fusion) vs the XLA chain."""
+    import dataclasses
+
+    rows = cols = 5
+    h, w, planes = 32, 48, 8
+    cams = reference_rig(rows=rows, cols=cols, spacing=0.02,
+                         origin=(-0.04, -0.04), resolution=(h, w))
+    images, _ = render_camera_array(cams, (h, w), SceneSpec())
+    images = jnp.asarray(np.round(np.asarray(images)))
+    cfg = EngineConfig().override(**{
+        "camera.rows": rows, "camera.cols": cols,
+        "plane_sweep.num_planes": planes,
+        "plane_sweep.topology": "TO_CENTER",
+        "plane_sweep.fusion": "topk_mean",
+        "plane_sweep.topk": 6,
+    })
+    ref_index = 12
+    pairs = camera_pairs(
+        PairTopology("TO_CENTER"), rows=rows, cols=cols, center=ref_index
+    )
+    src_indices = tuple(int(b) for a, b in pairs if a == ref_index)
+    assert len(src_indices) == 24
+    pad = _shift_warp_pad(cams, ref_index, src_indices, cfg)
+    assert pad > 0
+    a, na, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg.plane_sweep,
+        shift_pad=pad, backend="pallas_interpret",
+    )
+    b, nb, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg.plane_sweep,
+        shift_pad=pad, backend="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    m = cfg.plane_sweep.patch // 2
+    inner = (slice(m, h - m), slice(m, w - m))
+    d = np.abs(np.asarray(a) - np.asarray(b))
+    assert d[inner].max() <= 2.0 + 1e-6
+    assert (d[inner] > 0).mean() < 0.02
+    assert d.max() <= cfg.plane_sweep.patch ** 2 - 1
