@@ -14,7 +14,7 @@ Accuracy: a smooth large-range scene (slanted plane + bump, d in
 disparity field (monotone u(x) = x - d(x), interpolated per row), scored
 bad-2.0 / EPE on the mutually-seen interior for BOTH pipelines.
 
-Writes EVAL_CASCADE_r04.json.
+Writes EVAL_CASCADE_r05.json.
 """
 
 import argparse
@@ -94,7 +94,7 @@ def main():
     ap.add_argument("--platform", default=None, help="cpu to force host")
     ap.add_argument("--repeats", type=int, default=9)
     ap.add_argument("--batches", type=int, nargs=2, default=[1, 5])
-    ap.add_argument("--out", default="EVAL_CASCADE_r04.json")
+    ap.add_argument("--out", default="EVAL_CASCADE_r05.json")
     args = ap.parse_args()
 
     if args.platform:

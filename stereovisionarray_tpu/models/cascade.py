@@ -11,39 +11,50 @@ two-level cascade:
    mean) and run the full fast pipeline with the disparity range scaled
    down accordingly (`D_total / factor` disparities at `1/factor**2` the
    pixels: ~`1/factor**3` of the flat cost volume).
-2. **Band selection** — fill occlusion holes in the coarse map with the
-   background surface (`ops/postfilter.fill_holes` — an empty band is
-   unrecoverable, a background band is correct for occlusions by
-   construction), upsample, and quantize to a per-pixel integer band
-   offset `off(x) in {0, q, 2q, ...}` such that the true disparity lies
-   in `[off, off + D_fine)` wherever the coarse estimate is within
-   `+-(D_fine/2 - q/2)` px of the truth.
-3. **Fine pass** — warp the right view by `off` (per-pixel integer shift
-   realized as a one-hot select over the static set of shifted copies —
-   NEVER a per-pixel gather, which serializes on TPU; see ops/wta.py) and
-   run the same fast pipeline at `D_fine` disparities on (left, warped).
-   Total disparity = `d_fine + off(x - round(d_fine))` — the band offset
-   sampled where the fine match actually landed, again via one-hot
-   selects over the static fine range.
+2. **Pre-warp** — warp the right view toward the left by a field derived
+   from the coarse map, so the fine pass only searches a
+   ``fine_disparities``-wide residual window.
+3. **Fine pass** — run the same fast pipeline at ``D_fine`` disparities
+   on (left, warped right); decode ``total = d_fine + s_eff(x - d_fine)``
+   with the warp's exact effective shift field.
 
-Both passes reuse ``two_view_disparity`` unchanged, so the Pallas fused
-kernels, confidence, and LR checking all apply at both levels. Measured
-at (540, 768, 256) on a v5e chip (``scripts/perf_cascade.py``,
-EVAL_CASCADE_r04): cascade 1.43 ms/frame vs flat 9.23 — **6.5x** — at
-matching median error (0.135 vs 0.130 px); bad-2.0 1.25% vs 0.01%, the
-loss concentrated at band boundaries and the range-border strip.
+Two pre-warp modes:
 
-Known approximations (evaluated in ``tests/test_cascade.py`` and
-``EVAL_CASCADE_r04.json``): census windows straddling a band-offset
-discontinuity censure mixed-shift content (the offset field is
-piecewise-constant at q-px granularity, so this is confined to band
-boundaries); a coarse blunder larger than the band half-width is
-unrecoverable in the fine pass (the speckle filter on the coarse map
-suppresses isolated blunders before they become bands); and the usable
-region starts ``~coarse_factor * 8`` px past the range border ``x = d(x)``
-(the coarse pass is blind left of the local disparity, and its border
-blunders + the upsample ramp widen the flat pipeline's border strip —
-measured: bad columns end at x = 97 for d0 = 72, s = 4).
+``mode="smooth"`` (default, round-5) — warp by the CONTINUOUS
+slope-compensated coarse field. The round-4 band-quantized warp produced
+content seams every ``band_step/slope`` px on slanted surfaces, whose
+duplicated strips created systematic one-band-down false matches (bad-2
+1.25% vs flat 0.008% at D=256, ``EVAL_CASCADE_r04``; diagnosed in
+``scripts/probe_cascade_errors*.py``; seam-free band volumes still fail on
+the fine-index SAWTOOTH, ``scripts/probe_banded_volume.py``). A smooth
+warp has no seams and a ~constant fine-index field. Per-pixel smooth
+shifts are a gather — illegal on this toolchain — so the field is
+decomposed ``s*(x,y) = g(x) + r(x,y)`` (``scripts/probe_smooth_warp.py``):
+
+- ``g`` (1D column field, any range): ONE MXU hat-matrix matmul — the
+  one-hot matmul warp is the only legal dynamic-shift mechanism
+  (``scripts/probe_matmul_warp.py``);
+- ``r`` (clamped to ±``SMOOTH_R``): a 65-tap hat-weight select-sum chain,
+  0.14 ms/frame on device (``scripts/probe_onehot_warp.py``; 225 taps
+  would be 0.85 ms — the decomposition is the cost win);
+- the EXACT effective field ``s_eff(x) = r(x) + g(x - r(x))`` falls out
+  of applying the same hat weights to ``k + g(x - k)``, so the decode is
+  consistent even where ``r`` clamps (clamping only costs coverage).
+
+Slope compensation: sampling ``s`` at the match position shrinks the
+covered totals to ``Df * (1 - slope)``, so the centering uses the locally
+smoothed coarse gradient: ``s* = up - Df/2 * (1 - sigma)``. Limitations
+(documented, measured): scenes whose disparity varies mostly VERTICALLY
+by more than ~``SMOOTH_R`` px defeat the column-field split (coverage
+loss where ``|r|`` clamps); ``mode="band"`` remains as the fallback.
+
+``mode="band"`` (round-4) — per-pixel integer band offsets quantized to
+``band_step``, one-hot select over static shifts. Keeps its seam tail;
+retained for comparison and as the vertical-structure fallback.
+
+Measured at (540, 768, 256) on a v5e chip (``scripts/perf_cascade.py``,
+EVAL_CASCADE_r05): smooth cascade ~6x flat at bad-2 within 10x of flat
+(vs 157x for band mode), validity and EPE BETTER than flat.
 """
 
 from __future__ import annotations
@@ -61,10 +72,19 @@ from stereovisionarray_tpu.models.two_view import (
     disparity_to_depth,
     two_view_disparity,
 )
-from stereovisionarray_tpu.ops.postfilter import _shifted, fill_holes
+from stereovisionarray_tpu.ops.postfilter import (
+    _shifted,
+    median3x3,
+    speckle_filter,
+)
+from stereovisionarray_tpu.ops.refine import box_filter2d
 from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
 
-__all__ = ["cascade_two_view_disparity", "CascadeOutput"]
+__all__ = ["cascade_two_view_disparity", "CascadeOutput", "SMOOTH_R"]
+
+# residual-chain half-range: the 2*SMOOTH_R+1-tap hat chain costs ~0.14 ms
+# at (540, 768) (probe_onehot_warp.py); doubling it doubles that.
+SMOOTH_R = 32
 
 
 class CascadeOutput(NamedTuple):
@@ -72,9 +92,10 @@ class CascadeOutput(NamedTuple):
     valid: jnp.ndarray  # (H, W) bool
     cost: jnp.ndarray  # (H, W) fine-pass winning cost
     depth: Optional[jnp.ndarray] = None
-    confidence: Optional[jnp.ndarray] = None  # fine-pass PKRN
+    confidence: Optional[jnp.ndarray] = None  # fine-pass PKRN (edge-capped)
     coarse_disparity: Optional[jnp.ndarray] = None  # (H, W) upsampled px
-    band_offset: Optional[jnp.ndarray] = None  # (H, W) int32 band start
+    band_offset: Optional[jnp.ndarray] = None  # (H, W) shift field: int32
+    # band starts ("band") or the float effective field s_eff ("smooth")
 
 
 # shared coarse-pass helpers (shape-generic over leading axes)
@@ -96,6 +117,61 @@ def _select_shifted(values: jnp.ndarray, index: jnp.ndarray, shifts) -> jnp.ndar
     return out
 
 
+def _box_mean(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k x k box MEAN with correct border normalization."""
+    ones = jnp.ones_like(x)
+    return box_filter2d(x, k) / box_filter2d(ones, k)
+
+
+def _hat_matmul_warp(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """out(y, x) = bilinear img(y, x - g[x]) for a 1D column field g (W,).
+
+    The hat matrix M[u, x] = max(0, 1 - |clip(x - g[x]) - u|) realizes an
+    arbitrary-range per-COLUMN shift as one (H,W)@(W,W) matmul — the MXU
+    one-hot warp (ops/sweep_pallas.py uses the same mechanism per plane).
+    HIGHEST precision: the hat weights must act as exact f32 bilinear
+    coefficients, not bf16 (census bits flip on ~1-LSB intensity noise)."""
+    w = img.shape[1]
+    pos = jnp.clip(jnp.arange(w, dtype=img.dtype) - g, 0.0, w - 1.0)
+    u = jnp.arange(w, dtype=img.dtype)
+    m = jnp.maximum(0.0, 1.0 - jnp.abs(pos[None, :] - u[:, None]))
+    return jax.lax.dot_general(
+        img, m, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray):
+    """Warp ``right`` by the smooth field ``s_star`` (see module docstring).
+
+    Returns ``(wright, s_eff)``: the warped view and the EXACT effective
+    shift field realized (s_eff == s* wherever the residual does not
+    clamp; the decode must use s_eff)."""
+    h, w = right.shape
+    dt = right.dtype
+    g = jnp.mean(s_star, axis=0)  # (W,)
+    # 1D slope of g, lightly smoothed, clamped: the residual solve divides
+    # by (1 - g'); slopes >= ~0.7 would blow up the residual range
+    gp = jnp.convolve(jnp.gradient(g), jnp.ones(9, dt) / 9.0, mode="same")
+    gp = jnp.clip(gp, -0.2, 0.7)
+    # first-order fixed point of r + g(x - r) = s*: the anchor moves with
+    # the residual, amplifying it by 1/(1 - g')
+    r = jnp.clip((s_star - g[None, :]) / (1.0 - gp[None, :]),
+                 -float(SMOOTH_R), float(SMOOTH_R))
+
+    v1 = _hat_matmul_warp(right, g)
+
+    wright = jnp.zeros_like(right)
+    s_eff = jnp.zeros_like(s_star)
+    x = jnp.arange(w)
+    for k in range(-SMOOTH_R, SMOOTH_R + 1):
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(r - float(k)))
+        wright = wright + wgt * _shifted(v1, 0, k)
+        g_at = g[jnp.clip(x - k, 0, w - 1)]
+        s_eff = s_eff + wgt * (g_at[None, :] + float(k))
+    return wright, s_eff
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -107,6 +183,7 @@ def _select_shifted(values: jnp.ndarray, index: jnp.ndarray, shifts) -> jnp.ndar
         "baseline",
         "focal_px",
         "backend",
+        "mode",
     ),
 )
 def cascade_two_view_disparity(
@@ -120,13 +197,16 @@ def cascade_two_view_disparity(
     baseline: Optional[float] = None,
     focal_px: Optional[float] = None,
     backend: str = "auto",
+    mode: str = "smooth",
 ) -> CascadeOutput:
-    """Large-range disparity via a coarse pass + banded fine pass.
+    """Large-range disparity via a coarse pass + residual fine pass.
 
     ``cost_cfg.num_disparities`` is the TOTAL range; the fine pass
-    searches a per-pixel ``fine_disparities``-wide band positioned by the
-    coarse result (band starts quantized to ``band_step``). Both passes
-    run through :func:`two_view_disparity` with the given backend.
+    searches a per-pixel ``fine_disparities``-wide window positioned by
+    the coarse result. ``mode="smooth"`` (default) pre-warps by the
+    continuous coarse field; ``mode="band"`` quantizes to integer bands
+    of ``band_step`` (round-4 behavior, vertical-structure fallback).
+    Both passes run through :func:`two_view_disparity`.
     """
     total = int(cost_cfg.num_disparities)
     s = int(coarse_factor)
@@ -136,6 +216,8 @@ def cascade_two_view_disparity(
         raise ValueError("total range <= fine_disparities: use the flat pipeline")
     if Df % q or Df < 2 * q:
         raise ValueError("fine_disparities must be a multiple (>=2x) of band_step")
+    if mode not in ("smooth", "band"):
+        raise ValueError(f"unknown cascade mode {mode!r}")
 
     H, W = left.shape
 
@@ -145,8 +227,10 @@ def cascade_two_view_disparity(
     d_coarse = -(-total // s)  # ceil
     d_coarse = -(-d_coarse // 8) * 8  # sublane multiple for the Pallas path
     coarse_cost = dataclasses.replace(cost_cfg, num_disparities=d_coarse)
-    # a coarse blunder poisons a whole fine band: median + speckle suppress
-    # isolated blunders, fill_holes gives occlusions a background band
+    # a coarse blunder poisons a whole fine window: median + speckle
+    # suppress isolated blunders, fill_holes gives occlusions a background
+    # surface (an empty window is unrecoverable, a background one is
+    # correct for occlusions by construction)
     coarse_sgm = dataclasses.replace(
         sgm_cfg,
         median_filter=True,
@@ -163,28 +247,80 @@ def cascade_two_view_disparity(
     cd = jnp.where(coarse.valid, coarse.disparity, 0.0) * float(s)
     up = jax.image.resize(cd, lp.shape, method="linear")[:H, :W]
 
-    # ---- band offsets -------------------------------------------------------
-    n_bands = (total - Df) // q + 1
-    band = jnp.clip(
-        jnp.round((up - 0.5 * Df) / q).astype(jnp.int32), 0, n_bands - 1
-    )
-    offset = band * q  # (H, W) int32, multiples of q
-
-    # ---- fine pass on the band-warped right view ---------------------------
-    shifts = [b * q for b in range(n_bands)]
-    wright = _select_shifted(right, band, shifts)
     fine_cost = dataclasses.replace(cost_cfg, num_disparities=Df)
+
+    if mode == "smooth":
+        # ---- slope-compensated smooth field + pre-warp ---------------------
+        # covered totals at x span [s*(x), s*(x) + Df*(1-sigma)] (the
+        # match position moves with the residual), so center with the
+        # locally smoothed coarse gradient (probe_smooth_warp.py: a 25x25
+        # box is the difference between a 0.14% and a 0.55% tail)
+        # the field need only be accurate within the fine margin, and the
+        # match-anchored sampling AMPLIFIES its wiggles by 1/(1-sigma): a
+        # 9x9 box mean kills the coarse-grid interpolation noise that
+        # otherwise surfaces as 2-5 px fine-pass blobs on sustained slopes
+        # (with an exact field the warp is blameless: bad-2 0.0 in the
+        # warp-style A/B on the 0.45-slope ramp)
+        up_f = _box_mean(up, 9)
+        # clip the gradient BEFORE averaging: compensation must respond to
+        # sustained slopes (|d'| < 1 by visibility), not discontinuities —
+        # an unclipped step leaks a sigma CLIFF (0.7 -> 0 in 2 px) at the
+        # box-window frontier, which is itself a content seam
+        gx = jnp.clip(jnp.gradient(up_f, axis=1), 0.0, 1.0)
+        sigma = jnp.clip(_box_mean(gx, 25), 0.0, 0.7)
+        s_star = jnp.clip(up_f - 0.5 * Df * (1.0 - sigma), 0.0, float(total - Df))
+        wright, s_eff = _smooth_prewarp(right, s_star)
+        offset_field = s_eff
+    else:
+        # ---- integer band offsets (round-4 path) ---------------------------
+        # band b starts at min(b*q, total-Df): the last band CLAMPS so any
+        # (total, Df, q) combination covers every disparity (mirrors the
+        # cascade_sweep fix; previously non-divisible tops were silently
+        # unreachable — ADVICE r4)
+        n_bands = -(-(total - Df) // q) + 1
+        band = jnp.clip(
+            jnp.round((up - 0.5 * Df) / q).astype(jnp.int32), 0, n_bands - 1
+        )
+        starts = [min(b * q, total - Df) for b in range(n_bands)]
+        offset = jnp.zeros_like(up)
+        wright = jnp.zeros_like(right)
+        for b, st in enumerate(starts):
+            sel = band == b
+            wright = wright + jnp.where(sel, _shifted(right, 0, st), 0.0)
+            offset = offset + jnp.where(sel, float(st), 0.0)
+        offset_field = offset
+
+    # ---- fine pass ---------------------------------------------------------
     fine = two_view_disparity(left, wright, fine_cost, sgm_cfg, backend=backend)
 
-    # total disparity: the band offset sampled where the match landed
-    df_round = jnp.clip(jnp.round(fine.disparity).astype(jnp.int32), 0, Df - 1)
-    off_at = _select_shifted(
-        offset.astype(jnp.float32), df_round, list(range(Df))
-    )
+    # total disparity: the shift field sampled where the match landed,
+    # 2-tap lerp in d (the field is smooth; one-hot selects, no gathers)
+    df0 = jnp.clip(jnp.floor(fine.disparity).astype(jnp.int32), 0, Df - 1)
+    fr = jnp.clip(fine.disparity - df0, 0.0, 1.0)
+    off0 = _select_shifted(offset_field, df0, list(range(Df)))
+    off1 = _select_shifted(offset_field, df0, [i + 1 for i in range(Df)])
+    off_at = (1.0 - fr) * off0 + fr * off1
     disparity = jnp.where(
         fine.valid, fine.disparity + off_at, INVALID_DISPARITY
     )
     valid = fine.valid
+
+    conf = fine.confidence
+    if mode == "smooth":
+        # residual speckles from warp-field error survive the fine pass as
+        # small blobs against correct neighbours: a decoded-map median +
+        # speckle pass removes them (probe_smooth_warp.py: bad-2 0.149% ->
+        # 0.048% at matching density)
+        disparity = median3x3(disparity, valid)
+        disparity, valid = speckle_filter(
+            disparity, valid, max_diff=1.5, window=5, min_support=8
+        )
+        disparity = jnp.where(valid, disparity, INVALID_DISPARITY)
+    # fine-window-edge winners are untrustworthy — the window may not
+    # cover the truth there; stop the PKRN map from vouching for them
+    if conf is not None:
+        edge = (fine.disparity < 1.5) | (fine.disparity > Df - 2.5)
+        conf = jnp.where(valid, jnp.where(edge, jnp.minimum(conf, 0.05), conf), 0.0)
 
     depth = None
     if baseline is not None and focal_px is not None:
@@ -197,7 +333,7 @@ def cascade_two_view_disparity(
         valid=valid,
         cost=fine.cost,
         depth=depth,
-        confidence=fine.confidence,
+        confidence=conf,
         coarse_disparity=up,
-        band_offset=offset,
+        band_offset=offset_field,
     )

@@ -149,6 +149,7 @@ class TestCascadeInvariants:
             coarse_factor=4,
             fine_disparities=32,
             band_step=8,
+            mode="band",
         )
         off = np.asarray(out.band_offset)
         assert (off % 8 == 0).all()
@@ -157,6 +158,110 @@ class TestCascadeInvariants:
         # fine+offset stays inside the declared total range
         d = np.asarray(out.disparity)[np.asarray(out.valid)]
         assert d.min() >= 0.0 and d.max() < 128.0
+
+    def test_smooth_field_bounded_and_seam_free(self, constant_pair):
+        """Smooth mode: the effective shift field must stay inside the
+        total range and have NO content seams (|column step| < 2 px) —
+        seams are exactly the round-4 failure mode (bad-2 157x flat,
+        EVAL_CASCADE_r04; fixed by the smooth pre-warp)."""
+        left, right, d0 = constant_pair
+        out = cascade_two_view_disparity(
+            jnp.asarray(left),
+            jnp.asarray(right),
+            COST,
+            SGM,
+            coarse_factor=4,
+            fine_disparities=32,
+            band_step=8,
+            mode="smooth",
+        )
+        se = np.asarray(out.band_offset)  # s_eff in smooth mode
+        # the composed field may dip a hair below 0 where the residual
+        # taps cross the blind left border (decode stays consistent: the
+        # same field positioned the warp)
+        assert se.min() >= -2.0
+        assert se.max() <= 128.0 - 32.0 + 1.0
+        # seam check in the USABLE region (past the blind border strip:
+        # there rows disagree, the residual clamps +-R oppositely, and the
+        # field legitimately jumps — no accuracy guarantees exist there)
+        step = np.abs(np.diff(se[:, d0 + 40 :], axis=1))
+        assert step.max() < 2.0, f"field seam {step.max():.2f} px"
+        # on a constant-disparity scene the field centers ~Df/2 below d0
+        interior = se[8:-8, d0 + 40 : -8]
+        assert abs(np.median(interior) - (d0 - 16.0)) < 4.0
+
+    def test_smooth_slanted_ramp_no_tail(self):
+        """THE round-5 regression scenario: a steep slanted ramp
+        (|dd/dx| ~ 0.5) produced one-band-down lock-in with band
+        pre-warps. The smooth cascade must hold bad-2 near zero on it."""
+        rng = np.random.default_rng(23)
+        h, w = 96, 512
+        x = np.arange(w, dtype=np.float64)
+        d = 24.0 + 0.45 * x  # d in [24, ~254) -> use total 256
+        big = _texture(rng, h, w + 280)
+        left = big[:, :w]
+        right = np.zeros_like(left)
+        xs = np.arange(w + 280, dtype=np.float64)
+        for yy in range(h):
+            u_of_x = x - d
+            x_of_u = np.interp(x, u_of_x, x)
+            right[yy] = np.interp(x_of_u, xs, big[yy])
+        # sustained slope 0.45 shrinks fine coverage to Df*(1-sigma):
+        # Df=48 gives +-13 px of margin vs this tiny coarse pass's p99
+        # error of ~7 px (Df=32's +-8.8 is margin-limited HERE; the
+        # 540x768 eval scene's coarse p99 ~4 px fits Df=32)
+        out = cascade_two_view_disparity(
+            jnp.asarray(left),
+            jnp.asarray(np.asarray(right, np.float32)),
+            CostConfig(num_disparities=256),
+            SGM,
+            coarse_factor=4,
+            fine_disparities=48,
+            band_step=8,
+            mode="smooth",
+        )
+        dd = np.asarray(out.disparity)
+        v = np.asarray(out.valid)
+        gt = np.broadcast_to(d[None, :], (h, w))
+        mask = np.zeros((h, w), bool)
+        mask[8:-8, :] = True
+        mask &= x[None, :] >= d + 48  # visible + cascade border strip
+        mask[:, -8:] = False
+        m = mask & v
+        assert m.sum() > 0.5 * mask.sum()
+        err = np.abs(dd - gt)[m]
+        assert np.median(err) < 0.5
+        assert (err > 2.0).mean() < 0.005, f"bad2 {(err > 2.0).mean():.4f}"
+
+    def test_smooth_edge_winners_low_confidence(self, constant_pair):
+        """Fine-window-edge winners must be confidence-capped (<= 0.05):
+        the window may not cover the truth there (VERDICT r4 item 1)."""
+        left, right, _ = constant_pair
+        out = cascade_two_view_disparity(
+            jnp.asarray(left), jnp.asarray(right), COST, SGM, mode="smooth"
+        )
+        se = np.asarray(out.band_offset)
+        d = np.asarray(out.disparity)
+        v = np.asarray(out.valid)
+        conf = np.asarray(out.confidence)
+        # reconstruct the fine index the decode used: find k with
+        # k + s_eff(x - k) == d (the field is sampled at the match)
+        h, w = d.shape
+        xg = np.arange(w)[None, :]
+        fine_idx = np.full_like(d, 16.0)
+        found = np.zeros_like(v)
+        for k in range(32):
+            xs = np.clip(xg - k, 0, w - 1)
+            tot = k + np.take_along_axis(se, xs, axis=1)
+            hit = v & ~found & (np.abs(tot - d) < 0.75)
+            fine_idx = np.where(hit, float(k), fine_idx)
+            found |= hit
+        edge = v & found & ((fine_idx < 1.0) | (fine_idx > 32.0 - 3.0))
+        if edge.sum():
+            # the reconstruction has false positives (a total can match
+            # k + s_eff(x-k) for a small k by coincidence); require the
+            # bulk to be capped
+            assert (conf[edge] <= 0.0501).mean() > 0.8
 
     def test_confidence_plumbed(self, constant_pair):
         left, right, _ = constant_pair
