@@ -384,6 +384,85 @@ def check_cascade_sweep_end_to_end():
           f"median rel {med:.2e}, within-2% {close:.4f}")
 
 
+def check_hat_sample():
+    """hat_sample (smooth-cascade warp/decode kernel) compiled vs
+    interpret on device — static lane-slice taps are simple, but this
+    toolchain has silently miscompiled simple-looking kernels before."""
+    from stereovisionarray_tpu.ops.hatsample import hat_sample
+
+    rng = np.random.default_rng(17)
+    h, w = 540, 768
+    vals = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(-46, 46, (h, w)).astype(np.float32))
+    aux = jnp.asarray(rng.uniform(0, 200, (w,)).astype(np.float32))
+    got, gaux = hat_sample(vals, t, -44, 44, aux=aux, interpret=False)
+    ref, raux = hat_sample(vals, t, -44, 44, aux=aux, interpret=True)
+    d = float(jnp.max(jnp.abs(got - ref)))
+    da = float(jnp.max(jnp.abs(gaux - raux)))
+    assert d < 1e-2 and da < 1e-2, (d, da)
+    # decode-style positive tap range
+    t2 = jnp.asarray(rng.uniform(0, 31, (h, w)).astype(np.float32))
+    g2 = hat_sample(vals, t2, 0, 31, interpret=False)
+    r2 = hat_sample(vals, t2, 0, 31, interpret=True)
+    d2 = float(jnp.max(jnp.abs(g2 - r2)))
+    assert d2 < 1e-2, d2
+    print(f"PASS hat_sample compiled vs interpret (540x768, 89+32 taps): "
+          f"max |d| {max(d, da, d2):.2e}")
+
+
+def check_topk_grid_many_view():
+    """TO_CENTER 24-source in-kernel topk (the 2D-grid variant,
+    ops/sweep_pallas.py::_sweep_kernel_grid_views) vs the XLA chain —
+    ADVICE r4: this path was only covered by a one-off probe; a Mosaic
+    regression (SMEM-streamed scalars, scratch emit) would have slipped
+    the standing gate."""
+    import dataclasses
+
+    from stereovisionarray_tpu.config import EngineConfig
+    from stereovisionarray_tpu.datasets import (
+        SceneSpec, reference_rig, render_camera_array,
+    )
+    from stereovisionarray_tpu.geometry.topology import (
+        PairTopology, camera_pairs,
+    )
+    from stereovisionarray_tpu.models.array_pipeline import _shift_warp_pad
+    from stereovisionarray_tpu.models.plane_sweep import plane_sweep_volume
+
+    ROWS = COLS = 5
+    H, W, PLANES = 270, 360, 64
+    cams = reference_rig(rows=ROWS, cols=COLS, spacing=0.05,
+                         resolution=(H, W))
+    images, _ = render_camera_array(cams, (H, W), SceneSpec())
+    images = jnp.asarray(np.round(np.asarray(images)))
+    cfg = EngineConfig().override(**{
+        "camera.rows": ROWS, "camera.cols": COLS,
+        "plane_sweep.num_planes": PLANES,
+        "plane_sweep.topology": "TO_CENTER",
+        "plane_sweep.fusion": "topk_mean", "plane_sweep.topk": 6,
+    })
+    ref_index = (ROWS // 2) * COLS + COLS // 2
+    pairs = camera_pairs(PairTopology("TO_CENTER"), rows=ROWS, cols=COLS,
+                         center=ref_index)
+    src_indices = tuple(int(b) for a, b in pairs if a == ref_index)
+    assert len(src_indices) == 24, src_indices
+    pad = _shift_warp_pad(cams, ref_index, src_indices, cfg)
+    vol_x, nv_x, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg.plane_sweep,
+        shift_pad=pad, backend="xla",
+    )
+    vol_p, nv_p, _ = plane_sweep_volume(
+        images, cams, ref_index, src_indices, cfg.plane_sweep,
+        shift_pad=pad, backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(nv_p), np.asarray(nv_x))
+    m = cfg.plane_sweep.patch // 2
+    inner = (slice(m, H - m), slice(m, W - m))
+    d = np.abs(np.asarray(vol_p) - np.asarray(vol_x))
+    assert d[inner].max() == 0.0, f"grid topk interior {d[inner].max()}"
+    print("PASS many-view 2D-grid topk kernel vs XLA [TO_CENTER 6-of-24] "
+          "(270x360x64, on-device): interior BIT-EXACT")
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     check_two_view()
@@ -393,6 +472,8 @@ def main():
     check_plane_sweep_kernel()
     check_plane_sweep_depth_end_to_end()
     check_cascade_sweep_end_to_end()
+    check_hat_sample()
+    check_topk_grid_many_view()
     print("ALL TPU PARITY CHECKS PASS")
 
 

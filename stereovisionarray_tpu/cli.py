@@ -345,7 +345,8 @@ def cmd_two_view(args) -> int:
             jnp.asarray(left), jnp.asarray(right), cfg.cost, cfg.sgm,
             coarse_factor=args.coarse_factor,
             fine_disparities=args.fine_disparities,
-            band_step=args.band_step, **kwargs)
+            band_step=args.band_step,
+            mode=getattr(args, "cascade_mode", "smooth"), **kwargs)
     else:
         out = two_view_disparity(jnp.asarray(left), jnp.asarray(right),
                                  cfg.cost, cfg.sgm, **kwargs)
@@ -638,7 +639,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--focal-px", type=float, help="focal length in pixels")
     p.add_argument("--half-res", action="store_true")
     p.add_argument("--cascade", action="store_true",
-                   help="coarse-to-fine banded search (large disparity ranges)")
+                   help="coarse-to-fine search (large disparity ranges)")
+    p.add_argument("--cascade-mode", choices=("smooth", "band"),
+                   default="smooth",
+                   help="pre-warp: smooth field (default, seam-free) or "
+                        "r4 integer bands (fallback for scenes with "
+                        "strong vertical disparity structure)")
     p.add_argument("--coarse-factor", type=int, default=4)
     p.add_argument("--fine-disparities", type=int, default=32)
     p.add_argument("--band-step", type=int, default=8)

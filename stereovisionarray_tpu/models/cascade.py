@@ -34,9 +34,11 @@ decomposed ``s*(x,y) = g(x) + r(x,y)`` (``scripts/probe_smooth_warp.py``):
 - ``g`` (1D column field, any range): ONE MXU hat-matrix matmul — the
   one-hot matmul warp is the only legal dynamic-shift mechanism
   (``scripts/probe_matmul_warp.py``);
-- ``r`` (clamped to ±``SMOOTH_R``): a 65-tap hat-weight select-sum chain,
-  0.14 ms/frame on device (``scripts/probe_onehot_warp.py``; 225 taps
-  would be 0.85 ms — the decomposition is the cost win);
+- ``r`` (clamped to ±``SMOOTH_R``): a (2R+1)-tap hat-weight select-sum
+  chain (~0.14 ms/frame at 65 taps, ``scripts/probe_onehot_warp.py``;
+  225 taps would be 0.85 ms — the decomposition is the cost win); R is
+  sized for the 1/(1-g')-AMPLIFIED column deviation (the chain's anchor
+  moves with the residual);
 - the EXACT effective field ``s_eff(x) = r(x) + g(x - r(x))`` falls out
   of applying the same hat weights to ``k + g(x - k)``, so the decode is
   consistent even where ``r`` clamps (clamping only costs coverage).
@@ -77,14 +79,16 @@ from stereovisionarray_tpu.ops.postfilter import (
     median3x3,
     speckle_filter,
 )
+from stereovisionarray_tpu.ops.hatsample import hat_sample
 from stereovisionarray_tpu.ops.refine import box_filter2d
 from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
 
 __all__ = ["cascade_two_view_disparity", "CascadeOutput", "SMOOTH_R"]
 
-# residual-chain half-range: the 2*SMOOTH_R+1-tap hat chain costs ~0.14 ms
-# at (540, 768) (probe_onehot_warp.py); doubling it doubles that.
-SMOOTH_R = 32
+# residual-chain half-range: tap count is 2*SMOOTH_R+1; a 65-tap chain
+# costs ~0.14 ms at (540, 768) (probe_onehot_warp.py). 44 covers the
+# 1/(1-g')-amplified column deviation of the 540-row eval scene.
+SMOOTH_R = 44
 
 
 class CascadeOutput(NamedTuple):
@@ -141,12 +145,31 @@ def _hat_matmul_warp(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray):
+def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
+                    interpret: bool = False):
     """Warp ``right`` by the smooth field ``s_star`` (see module docstring).
 
-    Returns ``(wright, s_eff)``: the warped view and the EXACT effective
-    shift field realized (s_eff == s* wherever the residual does not
-    clamp; the decode must use s_eff)."""
+    Composition (1D matmul INNER, residual chain OUTER):
+
+        wright(x) = v1(x - r(x)),   v1(u) = right(u - g(u)),
+        r(x) = clip((s*(x) - g(x)) / (1 - g'(x)), -R, R),
+
+    where ``g`` is the 1D column mean of ``s*``. The inner hat matmul is
+    per-column and therefore exact for ANY 1D field, jumps included; the
+    outer chain is anchored at the output pixel. The price is that the
+    chain must carry the residual AMPLIFIED by 1/(1 - g') (its anchor
+    moves with r), which sizes ``SMOOTH_R``.
+
+    The inverted arrangement (matmul outer over an invertible slope-
+    limited field) needs no amplification — but any 1D jump compresses
+    the intermediate grid by (1 - g') and destroys content resolution
+    across a jump/0.8-wide zone (measured: 1-3 px match errors across
+    50-column strips behind each discontinuity). Jump fidelity beats
+    residual-range economy; this form keeps the per-column inner warp.
+
+    Returns ``(wright, s_eff)`` with ``s_eff`` the EXACT realized field
+    (same hat weights applied to ``k + g(x-k)``, valid under clamping);
+    the decode must sample ``s_eff``."""
     h, w = right.shape
     dt = right.dtype
     g = jnp.mean(s_star, axis=0)  # (W,)
@@ -154,21 +177,30 @@ def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray):
     # by (1 - g'); slopes >= ~0.7 would blow up the residual range
     gp = jnp.convolve(jnp.gradient(g), jnp.ones(9, dt) / 9.0, mode="same")
     gp = jnp.clip(gp, -0.2, 0.7)
-    # first-order fixed point of r + g(x - r) = s*: the anchor moves with
-    # the residual, amplifying it by 1/(1 - g')
+    # first-order fixed point of r + g(x - r) = s*: the chain's anchor
+    # moves with the residual, amplifying it by 1/(1 - g'); SMOOTH_R is
+    # sized for the AMPLIFIED deviation (measured on the 540-row eval
+    # scene: |r| > 32 for 0.55% of pixels, > 44 for ~0.01% — R=32 was
+    # exactly the r4->r5 0.159% tail)
     r = jnp.clip((s_star - g[None, :]) / (1.0 - gp[None, :]),
                  -float(SMOOTH_R), float(SMOOTH_R))
 
+    # inner warp: ONE hat matmul by the 1D column field (per-column ->
+    # exact for ANY g, jumps included; a matmul-OUTER arrangement instead
+    # compresses the intermediate grid wherever g ramps and destroys
+    # content resolution behind every jump — measured as 1-3 px match
+    # errors across 50-column zones)
     v1 = _hat_matmul_warp(right, g)
 
-    wright = jnp.zeros_like(right)
-    s_eff = jnp.zeros_like(s_star)
-    x = jnp.arange(w)
-    for k in range(-SMOOTH_R, SMOOTH_R + 1):
-        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(r - float(k)))
-        wright = wright + wgt * _shifted(v1, 0, k)
-        g_at = g[jnp.clip(x - k, 0, w - 1)]
-        s_eff = s_eff + wgt * (g_at[None, :] + float(k))
+    # outer chain, anchored at the output pixel: bilinear v1(x - r(x)),
+    # ONE Pallas pass with the 1D field g sampled by the same weights
+    # (the XLA tap chain re-reads v1 per tap: ~1.1 ms at 89 taps vs
+    # traffic-bound in-kernel slices, probe_cascade2_stages.py); by the
+    # hat identity sum_k w_k*k == r, so s_eff = r + sum_k w_k g(x-k) —
+    # the EXACT realized field, including where r clamps
+    wright, g_samp = hat_sample(v1, r, -SMOOTH_R, SMOOTH_R, aux=g,
+                                interpret=interpret)
+    s_eff = r + g_samp
     return wright, s_eff
 
 
@@ -269,7 +301,10 @@ def cascade_two_view_disparity(
         gx = jnp.clip(jnp.gradient(up_f, axis=1), 0.0, 1.0)
         sigma = jnp.clip(_box_mean(gx, 25), 0.0, 0.7)
         s_star = jnp.clip(up_f - 0.5 * Df * (1.0 - sigma), 0.0, float(total - Df))
-        wright, s_eff = _smooth_prewarp(right, s_star)
+        from stereovisionarray_tpu.backend import resolve_backend
+
+        kern_interp = resolve_backend(backend) != "pallas"
+        wright, s_eff = _smooth_prewarp(right, s_star, interpret=kern_interp)
         offset_field = s_eff
     else:
         # ---- integer band offsets (round-4 path) ---------------------------
@@ -293,13 +328,16 @@ def cascade_two_view_disparity(
     # ---- fine pass ---------------------------------------------------------
     fine = two_view_disparity(left, wright, fine_cost, sgm_cfg, backend=backend)
 
-    # total disparity: the shift field sampled where the match landed,
-    # 2-tap lerp in d (the field is smooth; one-hot selects, no gathers)
-    df0 = jnp.clip(jnp.floor(fine.disparity).astype(jnp.int32), 0, Df - 1)
-    fr = jnp.clip(fine.disparity - df0, 0.0, 1.0)
-    off0 = _select_shifted(offset_field, df0, list(range(Df)))
-    off1 = _select_shifted(offset_field, df0, [i + 1 for i in range(Df)])
-    off_at = (1.0 - fr) * off0 + fr * off1
+    # total disparity: the shift field sampled where the match landed
+    if mode == "smooth":
+        # bilinear sample of the smooth field at (x - d_f): the same
+        # Pallas hat-sampling pass as the warp (never a per-pixel gather)
+        t = jnp.clip(fine.disparity, 0.0, Df - 1.0)
+        off_at = hat_sample(offset_field, t, 0, Df - 1, interpret=kern_interp)
+    else:
+        # band offsets are piecewise-constant: nearest sample (r4 decode)
+        df_round = jnp.clip(jnp.round(fine.disparity).astype(jnp.int32), 0, Df - 1)
+        off_at = _select_shifted(offset_field, df_round, list(range(Df)))
     disparity = jnp.where(
         fine.valid, fine.disparity + off_at, INVALID_DISPARITY
     )

@@ -155,99 +155,98 @@ def _warp_census_ham(hi2d, lo2d, sgn_ref, base_ref, y0, x0, fv, fu, flag,
     wm = w + 2 * M + 1
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
-    if True:
-        # exact gather: rows y0..y0+hm-1, cols x0..x0+wm-1. The general
-        # mechanism is one-hot MXU selection per axis (the only legal
-        # dynamic-offset form on this toolchain — module docstring), but an
-        # axis whose shift is STATICALLY zero for every plane (the CROSS
-        # rig: each source moves along exactly one axis) collapses to a
-        # free static slice: y0 = pad_total - M is then a compile-time
-        # constant, and selecting rows of hi/lo by slice is bit-identical
-        # to the bf16 one-hot matmul (0/1 weights select exactly).
-        if flag == "x":  # sv == 0 for all planes -> static row window:
-            # the original bf16 hi/lo operands sliced by rows feed the
-            # column matmuls directly — no f32 combine + re-split, and the
-            # sum dot(hi_rows, sx) + dot(lo_rows, sx) equals the one-hot
-            # column selection of f32(hi) + f32(lo) exactly
-            Y0 = pad_total - M
+    # exact gather: rows y0..y0+hm-1, cols x0..x0+wm-1. The general
+    # mechanism is one-hot MXU selection per axis (the only legal
+    # dynamic-offset form on this toolchain — module docstring), but an
+    # axis whose shift is STATICALLY zero for every plane (the CROSS
+    # rig: each source moves along exactly one axis) collapses to a
+    # free static slice: y0 = pad_total - M is then a compile-time
+    # constant, and selecting rows of hi/lo by slice is bit-identical
+    # to the bf16 one-hot matmul (0/1 weights select exactly).
+    if flag == "x":  # sv == 0 for all planes -> static row window:
+        # the original bf16 hi/lo operands sliced by rows feed the
+        # column matmuls directly — no f32 combine + re-split, and the
+        # sum dot(hi_rows, sx) + dot(lo_rows, sx) equals the one-hot
+        # column selection of f32(hi) + f32(lo) exactly
+        Y0 = pad_total - M
+        cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
+        sx = (cp == x0 + cc).astype(jnp.bfloat16)
+        b = _dot(hi2d[Y0 : Y0 + hm, :], sx)  # (hm, wm) f32
+        if use_lo:
+            b = b + _dot(lo2d[Y0 : Y0 + hm, :], sx)
+    else:
+        rp = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 0)
+        sy = (rp == y0 + rr).astype(jnp.bfloat16)
+        a = _dot(sy, hi2d)  # (hm, wp) f32
+        if use_lo:
+            a = a + _dot(sy, lo2d)
+        if flag == "y":  # su == 0 everywhere -> static column window
+            # exact (no re-split residual): a[:, X0:X0+wm] IS the window
+            X0 = pad_total - M
+            b = a[:, X0 : X0 + wm]
+        else:
             cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
             cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
             sx = (cp == x0 + cc).astype(jnp.bfloat16)
-            b = _dot(hi2d[Y0 : Y0 + hm, :], sx)  # (hm, wm) f32
+            a_hi = a.astype(jnp.bfloat16)
             if use_lo:
-                b = b + _dot(lo2d[Y0 : Y0 + hm, :], sx)
-        else:
-            rp = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 1)
-            rr = jax.lax.broadcasted_iota(jnp.int32, (hm, hp), 0)
-            sy = (rp == y0 + rr).astype(jnp.bfloat16)
-            a = _dot(sy, hi2d)  # (hm, wp) f32
-            if use_lo:
-                a = a + _dot(sy, lo2d)
-            if flag == "y":  # su == 0 everywhere -> static column window
-                # exact (no re-split residual): a[:, X0:X0+wm] IS the window
-                X0 = pad_total - M
-                b = a[:, X0 : X0 + wm]
+                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                b = _dot(a_hi, sx) + _dot(a_lo, sx)  # (hm, wm) f32
             else:
-                cp = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 0)
-                cc = jax.lax.broadcasted_iota(jnp.int32, (wp, wm), 1)
-                sx = (cp == x0 + cc).astype(jnp.bfloat16)
-                a_hi = a.astype(jnp.bfloat16)
-                if use_lo:
-                    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    b = _dot(a_hi, sx) + _dot(a_lo, sx)  # (hm, wm) f32
-                else:
-                    # a is a one-hot selection of 8-bit-exact values: the
-                    # bf16 round-trip is exact, no residual arm needed
-                    b = _dot(a_hi, sx)
+                # a is a one-hot selection of 8-bit-exact values: the
+                # bf16 round-trip is exact, no residual arm needed
+                b = _dot(a_hi, sx)
 
-        # bilinear lerp, same op order as _shift_warp (bit-compat interior).
-        # A statically-zero fractional component drops its lerp arm: with
-        # fv == 0, top*(1-fv) + bot*fv == top bit-for-bit (x*1.0 == x,
-        # x + bot*0.0 == x up to the sign of zero, which census < ignores).
-        if flag == "x":  # fv == 0
-            wmg = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
-        elif flag == "y":  # fu == 0
-            wmg = b[:-1, :-1] * (1.0 - fv) + b[1:, :-1] * fv
-        else:
-            top = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
-            bot = b[1:, :-1] * (1.0 - fu) + b[1:, 1:] * fu
-            wmg = top * (1.0 - fv) + bot * fv  # (h+2M, w+2M) margin-warped
+    # bilinear lerp, same op order as _shift_warp (bit-compat interior).
+    # A statically-zero fractional component drops its lerp arm: with
+    # fv == 0, top*(1-fv) + bot*fv == top bit-for-bit (x*1.0 == x,
+    # x + bot*0.0 == x up to the sign of zero, which census < ignores).
+    if flag == "x":  # fv == 0
+        wmg = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
+    elif flag == "y":  # fu == 0
+        wmg = b[:-1, :-1] * (1.0 - fv) + b[1:, :-1] * fv
+    else:
+        top = b[:-1, :-1] * (1.0 - fu) + b[:-1, 1:] * fu
+        bot = b[1:, :-1] * (1.0 - fu) + b[1:, 1:] * fu
+        wmg = top * (1.0 - fv) + bot * fv  # (h+2M, w+2M) margin-warped
 
-        # Hamming accumulates DIRECTLY against the reference census as a
-        # signed-select sum: per bit, XOR(warped_bit, ref_bit) equals
-        # ref_bit + (1 - 2*ref_bit) * warped_bit, so with the precomputed
-        # sign planes sgn_ref = 1 - 2*ref_bit (f32) and their per-pixel sum
-        # base_ref = sum(ref_bits), each bit costs compare+select+add (the
-        # earlier cmp/cast/sub/abs/add i32 form was ~5 VPU ops). All values
-        # are small integers in f32 — exact, same hamming to the bit. The
-        # classical pack-then-popcount form miscompiles on this v5e
-        # toolchain: a 24-deep u32 `cur | (mask << bit)` chain silently
-        # drops bits 16-18/20-22 on device (each offset is exact in
-        # isolation, every packing variant — select-of-constants, i32
-        # shifts, per-dy subchains — fails identically; interpret mode is
-        # correct). Per-bit adds are immune; see the module docstring.
-        center = wmg[M : M + h, M : M + w]
-        acc = jnp.zeros((h, w), jnp.float32)
-        bit = 0
-        for dy in range(-M, M + 1):
-            for dx in range(-M, M + 1):
-                if dy == 0 and dx == 0:
-                    continue
-                nb = wmg[M + dy : M + dy + h, M + dx : M + dx + w]
-                acc = acc + jnp.where(nb < center, sgn_ref[bit], 0.0)
-                bit += 1
-        ham = base_ref[...] + acc  # exact integer-valued f32 hamming
+    # Hamming accumulates DIRECTLY against the reference census as a
+    # signed-select sum: per bit, XOR(warped_bit, ref_bit) equals
+    # ref_bit + (1 - 2*ref_bit) * warped_bit, so with the precomputed
+    # sign planes sgn_ref = 1 - 2*ref_bit (f32) and their per-pixel sum
+    # base_ref = sum(ref_bits), each bit costs compare+select+add (the
+    # earlier cmp/cast/sub/abs/add i32 form was ~5 VPU ops). All values
+    # are small integers in f32 — exact, same hamming to the bit. The
+    # classical pack-then-popcount form miscompiles on this v5e
+    # toolchain: a 24-deep u32 `cur | (mask << bit)` chain silently
+    # drops bits 16-18/20-22 on device (each offset is exact in
+    # isolation, every packing variant — select-of-constants, i32
+    # shifts, per-dy subchains — fails identically; interpret mode is
+    # correct). Per-bit adds are immune; see the module docstring.
+    center = wmg[M : M + h, M : M + w]
+    acc = jnp.zeros((h, w), jnp.float32)
+    bit = 0
+    for dy in range(-M, M + 1):
+        for dx in range(-M, M + 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = wmg[M + dy : M + dy + h, M + dx : M + dx + w]
+            acc = acc + jnp.where(nb < center, sgn_ref[bit], 0.0)
+            bit += 1
+    ham = base_ref[...] + acc  # exact integer-valued f32 hamming
 
-        # out-of-view mask: identical float math to the XLA per_plane
-        su = (x0 - pad_total + M).astype(jnp.float32) + fu
-        sv = (y0 - pad_total + M).astype(jnp.float32) + fv
-        ok = (
-            (u_iota + su >= 0.0)
-            & (u_iota + su <= w - 1.0)
-            & (v_iota + sv >= 0.0)
-            & (v_iota + sv <= h - 1.0)
-        )
-        return ham, ok
+    # out-of-view mask: identical float math to the XLA per_plane
+    su = (x0 - pad_total + M).astype(jnp.float32) + fu
+    sv = (y0 - pad_total + M).astype(jnp.float32) + fv
+    ok = (
+        (u_iota + su >= 0.0)
+        & (u_iota + su <= w - 1.0)
+        & (v_iota + sv >= 0.0)
+        & (v_iota + sv <= h - 1.0)
+    )
+    return ham, ok
 
 
 def _sweep_kernel_grid_views(sc_ref, f_ref, *rest, n_views, h, w, margin,
