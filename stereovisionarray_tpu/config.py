@@ -128,6 +128,9 @@ class PlaneSweepConfig:
     cascade_coarse_factor: int = 4
     cascade_fine_planes: int = 48
     cascade_band_step: int = 8
+    # "smooth" (r5 default: seam-free continuous pre-warp) or "band"
+    # (r4 integer bands — comparison/fallback)
+    cascade_mode: str = "smooth"
 
 
 @dataclass(frozen=True)

@@ -42,6 +42,13 @@ class SceneSpec:
     sphere_radius: float = 0.045
     texture_octaves: int = 5
     texture_seed: int = 7
+    # slanted planar patches: (x0, x1, y0, y1, z0, dzdx, dzdy) — the
+    # surface z = z0 + dzdx*(x-x0) + dzdy*(y-y0) clipped to the rect
+    # (fronto-parallel sweep bias fixtures, EVAL_SCENES_r05)
+    slants: Tuple[Tuple[float, float, float, float, float, float, float], ...] = ()
+    # textureless rectangles: (x0, x1, y0, y1, contrast) — texture
+    # contrast scaled toward mid-gray inside (0 = perfectly flat wall)
+    textureless: Tuple[Tuple[float, float, float, float, float], ...] = ()
 
 
 def _value_noise(x: np.ndarray, y: np.ndarray, octaves: int, seed: int) -> np.ndarray:
@@ -122,6 +129,15 @@ def _ray_scene_depth(
         hy = origin[1] + t * dirs[..., 1]
         inside = (hx >= x0) & (hx < x1) & (hy >= y0) & (hy < y1) & (t > 0)
         t_best = np.where(inside & (t < t_best), t, t_best)
+    # slanted planar patches: solve O_z + t d_z = z0 + a(px-x0) + b(py-y0)
+    for (x0, x1, y0, y1, z0, az, bz) in scene.slants:
+        denom = dz - az * dirs[..., 0] - bz * dirs[..., 1]
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t = (z0 - origin[2] + az * (origin[0] - x0) + bz * (origin[1] - y0)) / denom
+        hx = origin[0] + t * dirs[..., 0]
+        hy = origin[1] + t * dirs[..., 1]
+        inside = (hx >= x0) & (hx < x1) & (hy >= y0) & (hy < y1) & (t > 0)
+        t_best = np.where(inside & (t < t_best), t, t_best)
     # sphere
     c = np.asarray(scene.sphere_center, dtype=np.float64)
     r = scene.sphere_radius
@@ -164,6 +180,9 @@ def render_view(
     t = depth / np.where(np.abs(dirs[..., 2]) < 1e-9, 1e-9, dirs[..., 2])
     depth = (t * (dirs @ R[2])).astype(np.float32)
     img = _value_noise(hx, hy, scene.texture_octaves, scene.texture_seed)
+    for (x0, x1, y0, y1, contrast) in scene.textureless:
+        inside = (hx >= x0) & (hx < x1) & (hy >= y0) & (hy < y1)
+        img = np.where(inside, 128.0 + contrast * (img - 128.0), img)
     # slight depth-dependent shading so surfaces are distinguishable
     shade = 1.0 - 0.15 * np.clip((depth - depth.min()) / max(1e-6, np.ptp(depth)), 0, 1)
     return (img * shade).astype(np.float32), depth

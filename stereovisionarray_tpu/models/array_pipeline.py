@@ -215,6 +215,7 @@ def array_depth_pipeline(
             fine_planes=ps.cascade_fine_planes,
             band_step=ps.cascade_band_step,
             band_offsets=band_offsets,
+            mode=ps.cascade_mode,
             # fine_shift_pad deliberately None: the tight pad measured
             # ~20% SLOWER (probe_cascade_stages2.py, cascade_static_params)
         )

@@ -216,6 +216,7 @@ def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
         "focal_px",
         "backend",
         "mode",
+        "slant_bias",
     ),
 )
 def cascade_two_view_disparity(
@@ -230,6 +231,7 @@ def cascade_two_view_disparity(
     focal_px: Optional[float] = None,
     backend: str = "auto",
     mode: str = "smooth",
+    slant_bias: float = 0.0,
 ) -> CascadeOutput:
     """Large-range disparity via a coarse pass + residual fine pass.
 
@@ -258,7 +260,18 @@ def cascade_two_view_disparity(
     rp = _pad_to_multiple(right, s)
     d_coarse = -(-total // s)  # ceil
     d_coarse = -(-d_coarse // 8) * 8  # sublane multiple for the Pallas path
-    coarse_cost = dataclasses.replace(cost_cfg, num_disparities=d_coarse)
+    # scale the census window DOWN with the resolution: a (7,9) window at
+    # quarter res spans 4x the scene footprint, and on steep slopes its
+    # fronto-parallel support under-estimates disparity by 5-7 coarse px
+    # in whole blobs — the entire round-5 residual tail
+    # (probe_cascade_errors3.py + the census A/B: coarse (5,5) takes the
+    # eval-scene bad-2 from 0.167% to 0.001%; shrinking the FINE window
+    # instead does nothing)
+    wh, ww = cost_cfg.census_window
+    coarse_win = (max(5, (wh // 2) | 1), max(5, (ww // 2) | 1))
+    coarse_cost = dataclasses.replace(
+        cost_cfg, num_disparities=d_coarse, census_window=coarse_win
+    )
     # a coarse blunder poisons a whole fine window: median + speckle
     # suppress isolated blunders, fill_holes gives occlusions a background
     # surface (an empty window is unrecoverable, a background one is
@@ -300,7 +313,16 @@ def cascade_two_view_disparity(
         # box-window frontier, which is itself a content seam
         gx = jnp.clip(jnp.gradient(up_f, axis=1), 0.0, 1.0)
         sigma = jnp.clip(_box_mean(gx, 25), 0.0, 0.7)
-        s_star = jnp.clip(up_f - 0.5 * Df * (1.0 - sigma), 0.0, float(total - Df))
+        # slant_bias (default 0 BY MEASUREMENT): a sigma-proportional
+        # up-shift of the window was the first idea for the steep-flank
+        # coarse under-estimation blob (probe_cascade_errors3.py), but it
+        # displaces well-covered pixels too — measured WORSE at every
+        # tested beta (0.5: 0.183%, 1.0: 0.202% vs 0.167% baseline);
+        # kept as a knob for extreme-slant scenes
+        s_star = jnp.clip(
+            up_f - 0.5 * Df * (1.0 - sigma) + slant_bias * 0.5 * Df * sigma,
+            0.0, float(total - Df),
+        )
         from stereovisionarray_tpu.backend import resolve_backend
 
         kern_interp = resolve_backend(backend) != "pallas"

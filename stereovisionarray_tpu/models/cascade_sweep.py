@@ -66,12 +66,14 @@ from stereovisionarray_tpu.models.plane_sweep import (
     plane_sweep_volume,
     translation_shifts,
 )
+from stereovisionarray_tpu.ops.hatsample import hat_sample
 from stereovisionarray_tpu.ops.postfilter import (
     _shifted,
     fill_holes,
     median3x3,
     speckle_filter,
 )
+from stereovisionarray_tpu.ops.refine import box_filter2d
 
 __all__ = [
     "cascade_plane_sweep_depth",
@@ -202,14 +204,29 @@ def _coarse_band_prewarp(
     fine_planes: int,
     band_step: int,
     band_offsets: Optional[tuple],
+    mode: str = "smooth",
 ) -> tuple:
-    """Coarse pass + band field + per-view band pre-warp — everything the
+    """Coarse pass + shift field + per-view pre-warp — everything the
     cascade does BEFORE the fine sweep. Shared by the single-chip
     :func:`cascade_plane_sweep_depth` and the plane-sharded program
     (parallel/cascade_sweep.py), whose fine passes differ.
 
-    Returns ``(wsrc, offset, a, c, depths_full)``: band-pre-warped sources
-    (S, H, W), per-pixel plane-index band starts (H, W), the per-view
+    ``mode="smooth"`` (round-5 default) pre-warps each view by the
+    CONTINUOUS plane-index field (box-smoothed coarse map), realized as
+    two hat-sampling passes per view (vertical via transpose, then
+    horizontal — ``ops/hatsample.py``; per-pixel gathers are illegal).
+    The round-4 band quantization put ``|c_v|*band_step``-px content
+    seams in every pre-warped view; on slanted surfaces those seams are
+    the entire bad-2 tail (EVAL_CASCADE_SWEEP_r04: 0.39% vs flat 0.06%).
+    The horizontal pass samples its field at un-warped rows — a
+    ``|s_v| * d(field)/dy`` anchor approximation for diagonal views, the
+    round-4 band-misalignment class, sub-plane in practice.
+
+    ``mode="band"`` keeps the round-4 one-hot integer band warp.
+
+    Returns ``(wsrc, offset, a, c, depths_full)``: pre-warped sources
+    (S, H, W), the per-pixel plane-index offset field (H, W) — integer
+    band starts ("band") or the float field ("smooth") — the per-view
     shift intercepts/steps (S, 2) each, and the full (D,) plane depths.
     """
     total = int(cfg.num_planes)
@@ -231,7 +248,13 @@ def _coarse_band_prewarp(
     # bf16 warp, ops/sweep_pallas.py) — NEITHER cascade pass qualifies: the
     # coarse pass sees area-downsampled means, the fine pass bilinear
     # pre-warped content. Force the hi/lo split on both.
-    cfg_c = dataclasses.replace(cfg, num_planes=d_coarse, sources_8bit=False)
+    # census patch scaled DOWN with resolution (the two-view cascade's
+    # census A/B: a full-size window at quarter res spans 4x the scene
+    # footprint and under-estimates on slants — models/cascade.py)
+    cfg_c = dataclasses.replace(
+        cfg, num_planes=d_coarse, sources_8bit=False,
+        patch=max(3, (cfg.patch // s) | 1),
+    )
     coarse = plane_sweep_depth(
         _area_downsample(imgs_p, s),
         _scale_cameras(cameras, s),
@@ -275,6 +298,30 @@ def _coarse_band_prewarp(
     a = sh_full[:, 0, :]  # (S, 2) shift at plane 0
     c = (sh_full[:, total - 1, :] - a) / max(total - 1, 1)  # (S, 2) per-plane step
 
+    if mode == "smooth":
+        from stereovisionarray_tpu.backend import resolve_backend
+
+        interp = resolve_backend(backend) != "pallas"
+        ones = jnp.ones_like(k_up)
+        k_s = box_filter2d(k_up, 9) / box_filter2d(ones, 9)
+        K_star = jnp.clip(k_s - 0.5 * df, 0.0, float(total - df))
+        pad = int(shift_pad) + 1
+        warped = []
+        for v in range(n_src):
+            if band_offsets is not None:
+                dy, dx = band_offsets[v]
+                Kv = _shifted(K_star, dy, dx)
+            else:
+                Kv = K_star
+            su = a[v, 0] + c[v, 0] * Kv
+            sv = a[v, 1] + c[v, 1] * Kv
+            # vertical pass on the transposed view, then horizontal
+            tmp = hat_sample(src_images[v].T, jnp.clip(-sv, -pad, pad).T,
+                             -pad, pad, interpret=interp).T
+            warped.append(hat_sample(tmp, jnp.clip(-su, -pad, pad),
+                                     -pad, pad, interpret=interp))
+        return jnp.stack(warped), K_star, a, c, depths_full
+
     if band_offsets is not None:
         bv = jnp.stack([_shifted(band, dy, dx) for dy, dx in band_offsets])
     else:
@@ -297,7 +344,7 @@ def _coarse_band_prewarp(
     static_argnames=(
         "ref_index", "src_indices", "cfg", "sgm_cfg", "min_views", "backend",
         "shift_pad", "coarse_factor", "fine_planes", "band_step",
-        "band_offsets", "fine_shift_pad",
+        "band_offsets", "fine_shift_pad", "mode",
     ),
 )
 def cascade_plane_sweep_depth(
@@ -316,6 +363,7 @@ def cascade_plane_sweep_depth(
     band_step: int = 8,
     band_offsets: Optional[tuple] = None,
     fine_shift_pad: Optional[int] = None,
+    mode: str = "smooth",
 ) -> PlaneSweepOutput:
     """Drop-in :func:`plane_sweep_depth` for large plane counts on
     translation-only rigs (``shift_pad > 0`` REQUIRED — general rigs have
@@ -340,11 +388,13 @@ def cascade_plane_sweep_depth(
         raise ValueError("fine_planes must be >= 2*band_step (the window "
                          "must out-margin the band quantization)")
 
+    if mode not in ("smooth", "band"):
+        raise ValueError(f"unknown cascade mode {mode!r}")
     wsrc, offset, a, c, depths_full = _coarse_band_prewarp(
         images, cameras, ref_index, src_indices, cfg, sgm_cfg,
         min_views=min_views, backend=backend, shift_pad=shift_pad,
         coarse_factor=s, fine_planes=df, band_step=q,
-        band_offsets=band_offsets,
+        band_offsets=band_offsets, mode=mode,
     )
     dtype = wsrc.dtype
     n_src = len(src_indices)

@@ -59,6 +59,7 @@ def _cascade_program(
     fine_planes: int,
     band_step: int,
     band_offsets: Optional[tuple],
+    mode: str,
     B: int,
     N: int,
     H: int,
@@ -92,7 +93,7 @@ def _cascade_program(
             imgs, cameras, ref_index, src_indices, cfg, sgm_cfg,
             min_views=min_views, backend=backend, shift_pad=shift_pad,
             coarse_factor=coarse_factor, fine_planes=df, band_step=band_step,
-            band_offsets=band_offsets,
+            band_offsets=band_offsets, mode=mode,
         )
         dtype = wsrc.dtype
         ref = imgs.astype(dtype)[ref_index]
@@ -187,6 +188,7 @@ def sharded_cascade_sweep_depth(
     fine_planes: int = 48,
     band_step: int = 8,
     band_offsets: Optional[tuple] = None,
+    mode: str = "smooth",
 ) -> PlaneSweepOutput:
     """Batched, mesh-sharded ``cascade_plane_sweep_depth``.
 
@@ -206,7 +208,7 @@ def sharded_cascade_sweep_depth(
         int(shift_pad), str(backend), int(coarse_factor), int(fine_planes),
         int(band_step),
         tuple(band_offsets) if band_offsets is not None else None,
-        B, N, H, W,
+        str(mode), B, N, H, W,
     )
     images = jax.device_put(
         images.astype(jnp.float32), NamedSharding(mesh, spec_in)

@@ -166,3 +166,43 @@ class TestEvalFixture:
         gt = pair.gt_disparity[v]
         assert 30.0 < gt.min() < gt.max() < 62.0
         assert float(pair.calib["baseline"]) == 30.0  # mm
+
+
+def test_scene_slants_and_textureless():
+    """Round-5 scene-diversity fixtures: slanted planes intersect where
+    expected (depth varies linearly across the rect) and textureless
+    rects flatten the texture (EVAL_SCENES_r05 fixtures)."""
+    import numpy as np
+
+    from stereovisionarray_tpu.datasets import (
+        SceneSpec, reference_rig, render_view,
+    )
+
+    cams = reference_rig(rows=1, cols=1, spacing=0.05, origin=(0.0, 0.0),
+                         resolution=(90, 120))
+    scene = SceneSpec(
+        background_z=0.30,
+        patches=(),
+        sphere_radius=0.0,
+        slants=((-0.05, 0.05, -0.05, 0.05, 0.10, 0.8, 0.0),),
+        textureless=((0.06, 0.2, -0.2, 0.2, 0.0),),
+    )
+    img, depth = render_view(cams, 0, (90, 120), scene)
+    # the slanted patch is nearer than background and its depth GROWS
+    # with world x (dzdx > 0): compare two pixels straddling the center
+    h, w = depth.shape
+    c = depth[h // 2]
+    # depths are camera-frame distances (rig at z=-0.75): background
+    # reads ~1.05, the slant ~0.82-0.93
+    assert c.min() < 1.0  # slant visible (nearer than background)
+    sl = np.where(c < 1.0)[0]
+    assert len(sl) > 10
+    assert c[sl[-3]] > c[sl[2]]  # depth increases along +x on the slant
+    # textureless region: much lower variance than textured area. The
+    # rect x in [0.06, 0.2] at depth ~1.05 projects to u-cx ~ [9.5, 32]
+    # px (fx ~ 167 at this 120-px sensor) -> columns ~72..90
+    # (rows limited too: the rect's y-extent covers only |hy| < 0.2 ->
+    # central ~2/3 of rows at this fy/depth)
+    tex_var = img[30:60, : w // 3].std()
+    flat_var = img[30:60, 72:88].std()
+    assert flat_var < 0.25 * tex_var
