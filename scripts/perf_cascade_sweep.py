@@ -21,7 +21,7 @@ Accuracy: the ray-traced synthetic rig with exact GT (make_array_eval.py's
 scene) at the SAME 270x360 scale, scored on the interior for both
 pipelines.
 
-Writes EVAL_CASCADE_SWEEP_r04.json.
+Writes EVAL_CASCADE_SWEEP_r05.json.
 """
 
 import argparse
@@ -53,7 +53,7 @@ def main():
                     help="small/big frame-sets per dispatch for the slope")
     ap.add_argument("--fine", type=int, default=FINE)
     ap.add_argument("--factor", type=int, default=FACTOR)
-    ap.add_argument("--out", default="EVAL_CASCADE_SWEEP_r04.json")
+    ap.add_argument("--out", default="EVAL_CASCADE_SWEEP_r05.json")
     args = ap.parse_args()
 
     if args.platform:
