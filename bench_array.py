@@ -38,7 +38,7 @@ REPEATS = 8
 MAX_ROUNDS = 4
 
 
-def _make(jax, jnp, batch, cascade=False):
+def _make(jax, jnp, batch, cascade=False, topology="CROSS"):
     from stereovisionarray_tpu.config import EngineConfig
     from stereovisionarray_tpu.datasets import SceneSpec, reference_rig, render_camera_array
     from stereovisionarray_tpu.models import array_depth_pipeline
@@ -49,7 +49,7 @@ def _make(jax, jnp, batch, cascade=False):
         "camera.rows": ROWS,
         "camera.cols": COLS,
         "plane_sweep.num_planes": PLANES,
-        "plane_sweep.topology": "CROSS",
+        "plane_sweep.topology": topology,
         # sources_8bit (single-arm exact warp for decoded 8-bit frames)
         # measures NEUTRAL here — the kernel is VPU-bound in the hamming
         # and Mosaic already hides the MXU warp under it (within-run A/B
@@ -83,14 +83,17 @@ def main():
     import sys
 
     cascade = "--cascade" in sys.argv
+    topology = "CROSS"
+    if "--topology" in sys.argv:
+        topology = sys.argv[sys.argv.index("--topology") + 1].upper()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    small = _make(jax, jnp, B_SMALL, cascade=cascade)
-    big = _make(jax, jnp, B_BIG, cascade=cascade)
+    small = _make(jax, jnp, B_SMALL, cascade=cascade, topology=topology)
+    big = _make(jax, jnp, B_BIG, cascade=cascade, topology=topology)
     for run, x in (small, big):  # compile + warm twice
         _timed(run, x, 0.125)
         _timed(run, x, 0.25)
@@ -124,12 +127,14 @@ def main():
         json.dumps(
             {
                 "metric": "array_pipeline_throughput"
-                + ("_cascade" if cascade else ""),
+                + ("_cascade" if cascade else "")
+                + ("_" + topology.lower() if topology != "CROSS" else ""),
                 "value": round(sets_per_s, 4),
                 "unit": "frame_sets/s",
                 "vs_baseline": round(sets_per_s / REF_EST_SETS_PER_S, 1),
                 "ms_per_frame_set": round(per_set * 1e3, 1),
                 "shape": [ROWS * COLS, H, W, PLANES],
+                "topology": topology,
             }
         )
     )

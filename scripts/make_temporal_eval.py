@@ -18,7 +18,7 @@ census matching starts to degrade). Per level:
     as the filtered bad-2.0 against the NEW truth on the frame after the
     jump.
 
-Usage: python scripts/make_temporal_eval.py [--out EVAL_TEMPORAL_r04.json]
+Usage: python scripts/make_temporal_eval.py [--out EVAL_TEMPORAL_r05.json]
 Runs on CPU (forced).
 """
 
@@ -47,7 +47,7 @@ T = 8
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EVAL_TEMPORAL_r04.json")
+    ap.add_argument("--out", default="EVAL_TEMPORAL_r05.json")
     args = ap.parse_args()
 
     from stereovisionarray_tpu.config import CostConfig, SGMConfig

@@ -44,7 +44,9 @@ from stereovisionarray_tpu.models.two_view import two_view_disparity
 H, W, TOTAL, FINE = 540, 768, 256, 32
 COST = CostConfig(num_disparities=TOTAL, dtype="int8")
 SGM = SGMConfig(p1=8.0, p2=96.0, num_paths=8)
-COARSE_COST = dataclasses.replace(COST, num_disparities=64)
+COARSE_COST = dataclasses.replace(COST, num_disparities=64,
+                                  census_window=(5, 5))
+COARSE_COST_79 = dataclasses.replace(COST, num_disparities=64)
 COARSE_SGM = dataclasses.replace(SGM, median_filter=True, speckle_window=9,
                                  fill_holes=True)
 FINE_COST = dataclasses.replace(COST, num_disparities=FINE)
@@ -54,6 +56,14 @@ def stage_coarse(pair):
     l, r = pair
     co = two_view_disparity(C._area_downsample(l, 4), C._area_downsample(r, 4),
                             COARSE_COST, COARSE_SGM)
+    cd = jnp.where(co.valid, co.disparity, 0.0) * 4.0
+    return jax.image.resize(cd, l.shape, method="linear")
+
+
+def stage_coarse79(pair):
+    l, r = pair
+    co = two_view_disparity(C._area_downsample(l, 4), C._area_downsample(r, 4),
+                            COARSE_COST_79, COARSE_SGM)
     cd = jnp.where(co.valid, co.disparity, 0.0) * 4.0
     return jax.image.resize(cd, l.shape, method="linear")
 
@@ -72,7 +82,7 @@ def stage_field(pair):
 
 def stage_warp(pair):
     s_star, r = pair
-    w, se = C._smooth_prewarp(r, s_star)
+    w, se = C._smooth_prewarp(r, s_star, interpret=False)
     return w + se
 
 
@@ -82,17 +92,13 @@ def stage_fine(pair):
 
 
 def stage_decode(pair):
+    from stereovisionarray_tpu.ops.hatsample import hat_sample
+
     fine_d, se = pair
     valid = fine_d >= 0
-    df0 = jnp.clip(jnp.floor(fine_d).astype(jnp.int32), 0, FINE - 1)
-    fr = jnp.clip(fine_d - df0, 0.0, 1.0)
-    off0 = jnp.zeros_like(se)
-    off1 = jnp.zeros_like(se)
-    for i in range(FINE):
-        sel = df0 == i
-        off0 = off0 + jnp.where(sel, C._shifted(se, 0, i), 0.0)
-        off1 = off1 + jnp.where(sel, C._shifted(se, 0, i + 1), 0.0)
-    d = jnp.where(valid, fine_d + (1 - fr) * off0 + fr * off1, -1.0)
+    t = jnp.clip(fine_d, 0.0, FINE - 1.0)
+    off_at = hat_sample(se, t, 0, FINE - 1, interpret=False)
+    d = jnp.where(valid, fine_d + off_at, -1.0)
     d = C.median3x3(d, valid)
     d, v = C.speckle_filter(d, valid, max_diff=1.5, window=5, min_support=8)
     return jnp.where(v, d, -1.0)
@@ -126,6 +132,7 @@ def bench(fn, nb, repeats, seed):
 
 stages = [
     ("coarse+up ", stage_coarse),
+    ("coarse(7,9)", stage_coarse79),
     ("field     ", stage_field),
     ("warp      ", stage_warp),
     ("fine      ", stage_fine),

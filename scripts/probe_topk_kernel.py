@@ -105,6 +105,56 @@ def main():
     t_p = timed("topk24 kernel", "pallas")
     print(f"within-run ratio xla/kernel = {t_x / t_p:.2f}", flush=True)
 
+    # ---- view-chunk sweep (VERDICT r4 item 3): G views resident/step ----
+    from stereovisionarray_tpu.geometry.epipolar import inverse_depth_samples
+    from stereovisionarray_tpu.models.plane_sweep import translation_shifts
+    from stereovisionarray_tpu.ops.sweep_pallas import (
+        plane_sweep_census_pallas,
+    )
+
+    src = jnp.asarray(src_indices, dtype=jnp.int32)
+    depths = inverse_depth_samples(cfg.plane_sweep.z_near,
+                                   cfg.plane_sweep.z_far, PLANES)
+    sh = jnp.transpose(
+        translation_shifts(cams, ref_index, src, depths), (1, 0, 2)
+    )  # (D, S, 2)
+    ref_img = imgs[ref_index]
+    srcs = imgs[jnp.asarray(src_indices)]
+
+    ref_out = None
+    for g in (1, 2, 4, 6, 8):
+        def one(x, g=g):
+            f, nv = plane_sweep_census_pallas(
+                x[0], x[1:], sh, patch=cfg.plane_sweep.patch, shift_pad=pad,
+                topk=K, view_chunk=g,
+            )
+            return jnp.sum(f) + jnp.sum(nv.astype(jnp.float32))
+
+        all_imgs = jnp.concatenate([ref_img[None], srcs], axis=0)
+        batch = jnp.asarray(np.stack([np.asarray(all_imgs)] * 6))
+        jfn = jax.jit(lambda s: jnp.sum(jax.lax.map(one, s)))
+        for k in range(3):
+            float(jfn(batch + 0.1 * k))
+        ts = []
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            float(jfn(batch + 1.0 + 0.05 * i))
+            ts.append(time.perf_counter() - t0)
+        med = statistics.median(ts) / 6
+        # exactness vs G=1
+        f, nv = plane_sweep_census_pallas(
+            ref_img, srcs, sh, patch=cfg.plane_sweep.patch, shift_pad=pad,
+            topk=K, view_chunk=g,
+        )
+        if ref_out is None:
+            ref_out = (np.asarray(f), np.asarray(nv))
+            tag = "(ref)"
+        else:
+            df = np.abs(np.asarray(f) - ref_out[0]).max()
+            dn = np.abs(np.asarray(nv) - ref_out[1]).max()
+            tag = f"maxdiff {df:.1e}/{dn}"
+        print(f"chunk G={g}: {med * 1e3:8.3f} ms/sweep {tag}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -48,6 +48,10 @@ class TemporalOutput(NamedTuple):
     disparity: jnp.ndarray  # (H, W) filtered disparity
     valid: jnp.ndarray  # (H, W) bool
     stability: jnp.ndarray  # (H, W) evidence weight / max_weight in [0, 1]
+    coasted: jnp.ndarray = None  # (H, W) bool: held, NOT measured this
+    # frame (VERDICT r4 item 6 — consumers must be able to distinguish
+    # measured from invented depth; coasted pixels' stability also decays
+    # with age via the weight halving)
 
 
 def temporal_init(shape: Tuple[int, int]) -> TemporalState:
@@ -60,7 +64,8 @@ def temporal_init(shape: Tuple[int, int]) -> TemporalState:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_diff", "max_weight", "max_hole_age")
+    jax.jit, static_argnames=("max_diff", "max_weight", "max_hole_age",
+                              "coast_min_weight")
 )
 def temporal_update(
     state: TemporalState,
@@ -71,6 +76,7 @@ def temporal_update(
     max_diff: float = 1.0,
     max_weight: float = 8.0,
     max_hole_age: int = 3,
+    coast_min_weight: float = 1.0,
 ) -> Tuple[TemporalState, TemporalOutput]:
     """One recursive-filter step.
 
@@ -84,7 +90,15 @@ def temporal_update(
         farther than this from the state RESETS the pixel (motion).
       max_weight: evidence saturation — bounds the filter's time constant
         so it keeps adapting (EMA with alpha >= c/(max_weight + c)).
-      max_hole_age: frames an unmeasured pixel coasts before dropping out.
+      max_hole_age: hard cap on frames an unmeasured pixel coasts.
+      coast_min_weight: evidence floor for coasting — the weight HALVES
+        each coasted frame, so a pixel entering a hole with weight w
+        coasts min(max_hole_age, log2(w / coast_min_weight)) frames: the
+        hole age ADAPTS to pre-coast confidence (a saturated 8-weight
+        pixel rides out 3 dropped frames; a freshly-reset 1-weight pixel
+        drops immediately). r4's fixed-age coast filled level-2 noise
+        holes with stale values and made full-density bad-2 WORSE than
+        per-frame (EVAL_TEMPORAL_r04, VERDICT item 6).
 
     Returns (new_state, output)."""
     disparity = disparity.astype(jnp.float32)
@@ -97,7 +111,8 @@ def temporal_update(
         jnp.abs(disparity - state.disparity) <= max_diff
     )
     reset = valid & ~agree  # fresh pixel or moving content
-    hole = ~valid & has_state & (state.age < max_hole_age)
+    hole = (~valid & has_state & (state.age < max_hole_age)
+            & (state.weight >= 2.0 * coast_min_weight))
 
     w_prev = state.weight
     # AGREE: running weighted mean with saturating weight
@@ -120,12 +135,14 @@ def temporal_update(
         disparity=jnp.where(out_valid, new_d, INVALID_DISPARITY),
         valid=out_valid,
         stability=jnp.clip(new_w / max_weight, 0.0, 1.0),
+        coasted=hole,
     )
     return new_state, out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_diff", "max_weight", "max_hole_age")
+    jax.jit, static_argnames=("max_diff", "max_weight", "max_hole_age",
+                              "coast_min_weight")
 )
 def temporal_filter_sequence(
     disparities: jnp.ndarray,
@@ -135,6 +152,7 @@ def temporal_filter_sequence(
     max_diff: float = 1.0,
     max_weight: float = 8.0,
     max_hole_age: int = 3,
+    coast_min_weight: float = 1.0,
 ) -> TemporalOutput:
     """Filter a whole (T, H, W) sequence with ``lax.scan`` (offline batch
     form of :func:`temporal_update`). Returns stacked (T, H, W) outputs."""
@@ -145,7 +163,7 @@ def temporal_filter_sequence(
         return temporal_update(
             state, d, v, c,
             max_diff=max_diff, max_weight=max_weight,
-            max_hole_age=max_hole_age,
+            max_hole_age=max_hole_age, coast_min_weight=coast_min_weight,
         )
 
     conf = (jnp.ones_like(disparities) if confidences is None

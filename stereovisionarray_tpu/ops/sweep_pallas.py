@@ -52,6 +52,10 @@ __all__ = ["plane_sweep_census_pallas"]
 # view count above which the per-view-unrolled kernel's live temporaries
 # exceed VMEM (~230 MB at 24 views x pad 93) and the 2D-grid variant runs
 _UNROLL_MAX_VIEWS = 8
+# views resident per grid step in the many-view kernel (probe on device:
+# scripts/probe_topk_kernel.py --chunk sweep; bounded by VMEM temporaries
+# ~10 MB/view)
+_GRID_VIEW_CHUNK = 6
 
 
 def _dot(a, b):
@@ -308,6 +312,65 @@ def _sweep_kernel_grid_views(sc_ref, f_ref, *rest, n_views, h, w, margin,
         nv_ref[0] = nv
 
 
+def _sweep_kernel_grid_chunk(sc_ref, f_ref, *rest, n_views, chunk, n_steps,
+                             h, w, margin, patch, pad_total, n_bits,
+                             valid_mean, use_lo, topk=None):
+    """View-CHUNKED grid variant (VERDICT r4 item 3): grid =
+    (planes, ceil(S/chunk)), ``chunk`` views resident per step — between
+    the all-resident unrolled kernel (OOMs VMEM beyond ~8 views) and the
+    one-view-per-step streamer (D*S refetches + D*S grid-step overhead).
+    Views are padded to a chunk multiple with sentinel shifts (one-hot
+    window selects nothing, ok=False -> they contribute the ceiling like
+    any out-of-view source)."""
+    if use_lo:
+        hi_ref, lo_ref, sgn_ref, base_ref, fused_ref, nv_ref, acc_ref, nv_acc = rest
+    else:
+        hi_ref, sgn_ref, base_ref, fused_ref, nv_ref, acc_ref, nv_acc = rest
+        lo_ref = None
+    st = pl.program_id(1)
+    ceiling = jnp.float32(patch * patch - 1)
+
+    @pl.when(st == 0)
+    def _init():
+        acc_ref[...] = jnp.full(acc_ref.shape, 1e30 if topk else 0.0,
+                                jnp.float32)
+        nv_acc[...] = jnp.zeros(nv_acc.shape, jnp.int32)
+
+    for g in range(chunk):
+        vi = st * chunk + g
+        ham, ok = _warp_census_ham(
+            hi_ref[g], lo_ref[g] if use_lo else None, sgn_ref, base_ref,
+            sc_ref[0, vi, 0], sc_ref[0, vi, 1], f_ref[0, vi, 0],
+            f_ref[0, vi, 1], None, h=h, w=w, margin=margin,
+            pad_total=pad_total,
+        )
+        if topk:
+            v = jnp.where(ok, ham, ceiling)
+            for i in range(topk):
+                t = acc_ref[i]
+                acc_ref[i] = jnp.minimum(t, v)
+                v = jnp.maximum(t, v)
+        elif valid_mean:
+            acc_ref[0] = acc_ref[0] + jnp.where(ok, ham, 0.0)
+        else:
+            acc_ref[0] = acc_ref[0] + jnp.where(ok, ham, ceiling)
+        nv_acc[...] = nv_acc[...] + ok.astype(jnp.int32)
+
+    @pl.when(st == n_steps - 1)
+    def _emit():
+        nv = nv_acc[...]
+        if topk:
+            tot = acc_ref[0]
+            for i in range(1, topk):
+                tot = tot + acc_ref[i]
+            fused_ref[0] = tot / jnp.float32(topk)
+        elif valid_mean:
+            fused_ref[0] = acc_ref[0] / jnp.maximum(nv, 1).astype(jnp.float32)
+        else:
+            fused_ref[0] = acc_ref[0] / jnp.float32(n_views)
+        nv_ref[0] = nv
+
+
 def _static_axis_flags(shifts) -> Optional[Tuple[Optional[str], ...]]:
     """Per-view axis flag when `shifts` is concrete at trace time.
 
@@ -354,6 +417,7 @@ def plane_sweep_census_pallas(
     axis_flags: Optional[Tuple[Optional[str], ...]] = None,
     sources_8bit: bool = False,
     topk: Optional[int] = None,
+    view_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused census plane sweep over uniform per-(plane, view) shifts.
 
@@ -384,6 +448,7 @@ def plane_sweep_census_pallas(
         valid_mean=valid_mean, interpret=interpret, axis_flags=flags,
         sources_8bit=bool(sources_8bit),
         topk=int(topk) if topk is not None else None,
+        view_chunk=int(view_chunk) if view_chunk is not None else None,
     )
 
 
@@ -391,12 +456,12 @@ def plane_sweep_census_pallas(
     jax.jit,
     static_argnames=(
         "patch", "shift_pad", "valid_mean", "interpret", "axis_flags",
-        "sources_8bit", "topk",
+        "sources_8bit", "topk", "view_chunk",
     ),
 )
 def _census_sweep_impl(
     ref, src_images, shifts, *, patch, shift_pad, valid_mean, interpret,
-    axis_flags, sources_8bit=False, topk=None,
+    axis_flags, sources_8bit=False, topk=None, view_chunk=None,
 ):
     s_views, h, w = src_images.shape
     d_planes = shifts.shape[0]
@@ -486,21 +551,44 @@ def _census_sweep_impl(
         # 24 views x 64 planes (measured — probe_topk_kernel.py); stream
         # one plane's (S, 2) scalars per step instead (a (1,1,2) window
         # violates the lowering's minor-dims tiling rule)
+        G = int(view_chunk) if view_chunk else _GRID_VIEW_CHUNK
+        G = max(1, min(G, s_views))
+        s_pad = -(-s_views // G) * G
+        if s_pad != s_views:
+            # sentinel views: shifts far out of range -> the one-hot
+            # window selects nothing, ok=False, contributes the ceiling
+            padv = s_pad - s_views
+            hi = jnp.concatenate(
+                [hi, jnp.zeros((padv, hp, wp), hi.dtype)], axis=0)
+            if lo is not None:
+                lo = jnp.concatenate(
+                    [lo, jnp.zeros((padv, hp, wp), lo.dtype)], axis=0)
+            sc = jnp.concatenate(
+                [sc, jnp.full((d_planes, padv, 2), -30000, sc.dtype)],
+                axis=1)
+            fr = jnp.concatenate(
+                [fr, jnp.zeros((d_planes, padv, 2), fr.dtype)], axis=1)
+            operands = [sc, fr, hi] + ([] if lo is None else [lo]) + [sgn, base]
+        n_steps = s_pad // G
+        chunk_spec = pl.BlockSpec(
+            (G, hp, wp), lambda i, s: (s, 0, 0), memory_space=pltpu.VMEM
+        )
         smem_step = pl.BlockSpec(
-            (1, s_views, 2), lambda i, s: (i, 0, 0), memory_space=pltpu.SMEM
+            (1, s_pad, 2), lambda i, s: (i, 0, 0), memory_space=pltpu.SMEM
         )
         fused, nv = pl.pallas_call(
             functools.partial(
-                _sweep_kernel_grid_views, n_views=s_views, h=h, w=w,
+                _sweep_kernel_grid_chunk, n_views=s_views, chunk=G,
+                n_steps=n_steps, h=h, w=w,
                 margin=M, patch=patch, pad_total=P, n_bits=n_bits,
                 valid_mean=bool(valid_mean), use_lo=lo is not None,
                 topk=topk,
             ),
-            grid=(d_planes, s_views),
+            grid=(d_planes, n_steps),
             in_specs=[
                 smem_step,
                 smem_step,
-                *([view_spec] * (1 if lo is None else 2)),
+                *([chunk_spec] * (1 if lo is None else 2)),
                 res3((n_bits, h, w)),
                 res3((h, w)),
             ],

@@ -46,16 +46,40 @@ class TestUpdateMechanics:
 
     def test_hole_persistence_bounded(self):
         state = temporal_init(SHAPE)
-        for _ in range(4):
+        for _ in range(9):  # saturate evidence (max_weight 8)
             state, _ = temporal_update(state, _const(7.0), TRUE)
         ages = []
+        coasted = []
         for k in range(5):
             state, out = temporal_update(state, _const(0.0), FALSE,
                                          max_hole_age=3)
             ages.append(bool(np.asarray(out.valid).all()))
-        # coasts exactly max_hole_age frames, then drops out
+            coasted.append(bool(np.asarray(out.coasted).all()))
+        # a SATURATED pixel coasts the full max_hole_age, then drops
         assert ages == [True, True, True, False, False]
+        assert coasted == ages  # every held frame is flagged as coasted
         assert (np.asarray(out.disparity) == float(INVALID_DISPARITY)).all()
+
+    def test_hole_age_adapts_to_evidence(self):
+        """r5: the coast age scales with PRE-COAST evidence (the weight
+        halves per coasted frame and must stay >= 2*coast_min_weight) —
+        a 2-frame-old pixel must NOT coast as long as a saturated one
+        (VERDICT r4 item 6: fixed-age coasting polluted full-density
+        accuracy at high noise)."""
+        state = temporal_init(SHAPE)
+        for _ in range(2):  # weight 2 only
+            state, _ = temporal_update(state, _const(7.0), TRUE)
+        ages = []
+        for k in range(4):
+            state, out = temporal_update(state, _const(0.0), FALSE,
+                                         max_hole_age=3)
+            ages.append(bool(np.asarray(out.valid).all()))
+        assert ages == [True, False, False, False]
+
+    def test_coasted_not_set_on_measured(self):
+        state = temporal_init(SHAPE)
+        state, out = temporal_update(state, _const(5.0), TRUE)
+        assert not np.asarray(out.coasted).any()
 
     def test_confidence_weights_evidence(self):
         state_hi = temporal_init(SHAPE)
