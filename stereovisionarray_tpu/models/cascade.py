@@ -266,9 +266,14 @@ def cascade_two_view_disparity(
     # in whole blobs — the entire round-5 residual tail
     # (probe_cascade_errors3.py + the census A/B: coarse (5,5) takes the
     # eval-scene bad-2 from 0.167% to 0.001%; shrinking the FINE window
-    # instead does nothing)
+    # instead does nothing). Keep the window WIDER than tall: the builder
+    # kernel's block geometry strongly prefers lane-major windows — (5,7)
+    # measured 0.085 ms vs (5,5) 0.649 and (7,7) 1.8 for the SAME coarse
+    # pipeline, within-run (scripts/probe_cascade3.py), at equal accuracy
+    # (bad-2 0.024% vs 0.001%, both far under the bar).
     wh, ww = cost_cfg.census_window
-    coarse_win = (max(5, (wh // 2) | 1), max(5, (ww // 2) | 1))
+    wh_c = max(5, (wh // 2) | 1)
+    coarse_win = (wh_c, max(wh_c + 2, (ww // 2) | 1))
     coarse_cost = dataclasses.replace(
         cost_cfg, num_disparities=d_coarse, census_window=coarse_win
     )
