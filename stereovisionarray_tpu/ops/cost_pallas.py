@@ -189,13 +189,17 @@ def _store_scaled(cost_f, scale, dtype):
 def _wdh_kernel(*refs, rows, n_disp, n_planes, n_views, n_bits, bt_weight,
                 bt_clip, scale):
     # refs: [cl_p blocks (P), lt, lmn, lmx (blocked (rows, H)),
-    #        crev_p views (P * V), rrev views (V), out]
+    #        crev_p views (P * V), rrev views (V),
+    #        rmnrev views (V), rmxrev views (V) (bt only), out]
     D = n_disp
     P, V = n_planes, n_views
     cl_refs = refs[:P]
     lt_ref, lmn_ref, lmx_ref = refs[P : P + 3]
     crev_refs = [refs[P + 3 + p * V : P + 3 + (p + 1) * V] for p in range(P)]
     rrev_refs = refs[P + 3 + P * V : P + 3 + (P + 1) * V]
+    if bt_weight > 0.0:
+        rmn_refs = refs[P + 3 + (P + 1) * V : P + 3 + (P + 2) * V]
+        rmx_refs = refs[P + 3 + (P + 2) * V : P + 3 + (P + 3) * V]
     out_ref = refs[-1]
     h = out_ref.shape[-1]
     i = pl.program_id(0)
@@ -204,6 +208,16 @@ def _wdh_kernel(*refs, rows, n_disp, n_planes, n_views, n_bits, bt_weight,
     crev = [jnp.concatenate([v[:] for v in crev_refs[p]], axis=0)
             for p in range(P)]
     rrev = jnp.concatenate([v[:] for v in rrev_refs], axis=0)
+    if bt_weight > 0.0:
+        # the right view's half-pixel BT bounds, precomputed in XLA and
+        # streamed like rrev: in this ROLL-FREE builder the per-d values
+        # are plain static slices, so precomputing trades ~6 in-kernel
+        # f32 ops per (d, pixel) (min3/max3 + 2 muls) for two cheap
+        # operand streams. (The BARREL builder keeps its in-kernel
+        # derivation: there the extra operands cost 1.7x the roll-rows
+        # and measured SLOWER — CLAUDE.md round-2 notes.)
+        rmnrev = jnp.concatenate([v[:] for v in rmn_refs], axis=0)
+        rmxrev = jnp.concatenate([v[:] for v in rmx_refs], axis=0)
 
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, h), 0)
     worst = float(n_bits) + (bt_weight * bt_clip if bt_weight > 0.0 else 0.0)
@@ -229,12 +243,8 @@ def _wdh_kernel(*refs, rows, n_disp, n_planes, n_views, n_bits, bt_weight,
             l_mn = lmn_ref[r][None, :]
             l_mx = lmx_ref[r][None, :]
             rs = rrev[rows - r : rows - r + D]
-            up = rrev[rows - r + 1 : rows - r + 1 + D]
-            dn = rrev[rows - r - 1 : rows - r - 1 + D]
-            m3mn = jnp.minimum(jnp.minimum(up, dn), rs)
-            m3mx = jnp.maximum(jnp.maximum(up, dn), rs)
-            rmn = 0.5 * (rs + m3mn)
-            rmx = 0.5 * (rs + m3mx)
+            rmn = rmnrev[rows - r : rows - r + D]
+            rmx = rmxrev[rows - r : rows - r + D]
             d_lr = jnp.maximum(0.0, jnp.maximum(lt - rmx, rmn - lt))
             d_rl = jnp.maximum(0.0, jnp.maximum(rs - l_mx, l_mn - rs))
             bt = jnp.minimum(jnp.minimum(d_lr, d_rl), bt_clip)
@@ -286,6 +296,7 @@ def fused_cost_volume_pallas_wdh(
                 jnp.maximum(jnp.maximum(lh, rh), img))
 
     l_mn, l_mx = half_pix_bounds(left)
+    r_mn, r_mx = half_pix_bounds(right)
 
     nb = w // R
     n_views = 1 + -(-(D + 1) // R)  # window is R+D+1 rows from block-aligned lo
@@ -322,6 +333,10 @@ def fused_cost_volume_pallas_wdh(
         in_specs.extend(view_specs)
     operands.extend([rrev] * n_views)
     in_specs.extend(view_specs)
+    if bt_weight > 0.0:
+        for arr in (rev_ext(jnp.transpose(r_mn)), rev_ext(jnp.transpose(r_mx))):
+            operands.extend([arr] * n_views)
+            in_specs.extend(view_specs)
 
     odt = jnp.dtype(out_dtype)
     if odt == jnp.int8 and not int8_cost_fits(census_window, bt_weight, bt_clip):
