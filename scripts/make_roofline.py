@@ -36,11 +36,14 @@ Conclusions this artifact records:
      THIS algorithm/formulation ~ 1.95-2.1 ms; measured 2.03-2.12 ->
      >= ~93% of achievable. The r3 "1.6-1.8 ms" estimate assumed
      HBM-bound stages; the sweeps are VPU-bound and dominate.
-  5. Coarse-to-fine at the bench shape (D=64): measured A/B in the
-     cascade_at_bench_shape row — the cascade's fixed coarse+warp+decode
-     machinery (~1 ms) must amortize against only a 64->24-plane fine
-     saving, so the payoff is marginal-to-none at D=64 (it is 5-6x at
-     D=256); the flat pipeline remains the bench configuration.
+  5. Coarse-to-fine at the bench shape (D=64): the A/B surprised us —
+     cascade (factor 4, fine 24) measures 0.505 ms vs flat 2.202, i.e.
+     4.4x AT THE BENCH SHAPE (the r5 smooth-warp machinery is far
+     cheaper than the r4 bands: matmul + one hat-chain kernel). The
+     bench.py metric of record stays the FLAT exhaustive pipeline for
+     round-over-round comparability (and because banded search is a
+     different algorithm class than the exhaustive volume the metric
+     names), with the cascade number reported alongside.
 """
 
 import json
@@ -170,9 +173,11 @@ if len(sys.argv) > 2:
     report["cascade_at_bench_shape"] = {
         "flat_ms": float(sys.argv[1]),
         "cascade_f4_fine24_ms": float(sys.argv[2]),
-        "verdict": "marginal at D=64 (fixed coarse+warp+decode ~1 ms "
-                   "amortizes against only a 40-plane fine saving); "
-                   "flat remains the bench config",
+        "verdict": "4.4x at the bench shape — the smooth-warp cascade "
+                   "machinery (matmul + single hat-chain Pallas pass) "
+                   "amortizes even at D=64; flat stays the bench metric "
+                   "of record (same algorithm round-over-round), "
+                   "cascade reported alongside",
     }
 
 out = os.path.join(os.path.dirname(os.path.dirname(
