@@ -139,15 +139,32 @@ def main():
     report = {"shape": [H, W, TOTAL],
               "cascade": {"factor": FACTOR, "fine": FINE, "step": STEP}}
 
+    # INTERLEAVED timing: the tunnel drifts ~+-20% across minutes, enough
+    # to corrupt a sequential flat-then-cascade comparison (measured:
+    # cascade read 1.50/2.00/2.26 ms across runs of identical code while
+    # flat stayed 8.6-8.9). Alternating flat/cascade batches inside each
+    # repeat makes both slopes share the drift (CLAUDE.md: trust only
+    # within-run A/B).
+    progs = {}
     for name, one in [("flat", flat_one), ("cascade", casc_one)]:
         fs, a_s = batcher(one, nb_s)
         fb, a_b = batcher(one, nb_b)
         for k in range(3):  # warmup: compile + first-touch
             _timed(fs, a_s, 0.2 + 0.01 * k)
             _timed(fb, a_b, 0.2 + 0.01 * k)
-        per, sust = _slope(fs, a_s, fb, a_b, nb_s, nb_b, args.repeats)
+        progs[name] = (fs, a_s, fb, a_b)
+    times = {n: {"s": [], "b": []} for n in progs}
+    for i in range(args.repeats):
+        salt = 1.0 + 0.1 * i
+        for name, (fs, a_s, fb, a_b) in progs.items():
+            times[name]["s"].append(_timed(fs, a_s, salt))
+            times[name]["b"].append(_timed(fb, a_b, salt + 0.05))
+    for name in progs:
+        ts, tb = times[name]["s"], times[name]["b"]
+        per = (statistics.median(tb) - statistics.median(ts)) / (nb_b - nb_s)
         report[name + "_ms_per_frame"] = round(per * 1e3, 3)
-        report[name + "_sustained_ms"] = round(sust * 1e3, 3)
+        report[name + "_sustained_ms"] = round(
+            statistics.median(tb) / nb_b * 1e3, 3)
         print(name, report[name + "_ms_per_frame"], "ms/frame", flush=True)
 
     if report["cascade_ms_per_frame"] > 0 and report["flat_ms_per_frame"] > 0:
