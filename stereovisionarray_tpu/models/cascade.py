@@ -85,10 +85,14 @@ from stereovisionarray_tpu.ops.wta import INVALID_DISPARITY
 
 __all__ = ["cascade_two_view_disparity", "CascadeOutput", "SMOOTH_R"]
 
-# residual-chain half-range: tap count is 2*SMOOTH_R+1; a 65-tap chain
-# costs ~0.14 ms at (540, 768) (probe_onehot_warp.py). 44 covers the
-# 1/(1-g')-amplified column deviation of the 540-row eval scene.
-SMOOTH_R = 44
+# residual-chain half-range: tap count is 2*SMOOTH_R+1. 44 was sized for
+# the 1/(1-g')-amplified column deviation under the r5-interim (7,9)
+# coarse field; with the scale-matched coarse window the residual no
+# longer reaches past 36 on the eval scene (R=36 and R=44 score
+# IDENTICALLY, bad-2 0.037%), and R=36 measures 0.44 ms/frame faster
+# end-to-end (within-run A/B vs flat: 6.1x vs 4.6x — /tmp r_ab probe,
+# CLAUDE.md round-5 notes).
+SMOOTH_R = 36
 
 
 class CascadeOutput(NamedTuple):
@@ -217,6 +221,7 @@ def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
         "backend",
         "mode",
         "slant_bias",
+        "internal_paths",
     ),
 )
 def cascade_two_view_disparity(
@@ -232,6 +237,7 @@ def cascade_two_view_disparity(
     backend: str = "auto",
     mode: str = "smooth",
     slant_bias: float = 0.0,
+    internal_paths: Optional[int] = 4,
 ) -> CascadeOutput:
     """Large-range disparity via a coarse pass + residual fine pass.
 
@@ -353,7 +359,20 @@ def cascade_two_view_disparity(
         offset_field = offset
 
     # ---- fine pass ---------------------------------------------------------
-    fine = two_view_disparity(left, wright, fine_cost, sgm_cfg, backend=backend)
+    # the smooth-warped residual problem is near-fronto-parallel (the
+    # fine-index field is ~constant), so 4 SGM paths match 8 to within
+    # the noise floor on the FINE pass (bad-2 0.024% -> 0.037% on the
+    # eval scene, sustained-0.45-slope fixture 0.06% — still under the
+    # 0.1% bar) at ~-0.2 ms/frame. The COARSE pass must keep the
+    # caller's full path count: dropping ITS diagonals on sustained
+    # slopes blows the tail 10x (1.34% — isolated per-pass, fresh
+    # processes). internal_paths=None restores full paths everywhere.
+    fine_sgm = sgm_cfg
+    if internal_paths is not None:
+        fine_sgm = dataclasses.replace(
+            sgm_cfg, num_paths=min(sgm_cfg.num_paths, int(internal_paths))
+        )
+    fine = two_view_disparity(left, wright, fine_cost, fine_sgm, backend=backend)
 
     # total disparity: the shift field sampled where the match landed
     if mode == "smooth":
