@@ -16,6 +16,12 @@ Per scene: full 5x5 array pipeline (sweep + SGM + refine) bad-2%/median
 rel err, with the refine stage separated (raw sweep vs refined) so the
 slant-bias recovery is visible. Runs on CPU (accuracy is
 backend-independent).
+
+Finding of record (refine-parameter sweep, r5): multiview_refine cannot
+recover the slant-zone bias — its warped-window comparison is itself
+fronto-parallel; the default (w11, r3) is already the best setting and
+smaller windows / more iterations all make the slant zones WORSE
+(0.173 -> 0.23-0.32). Recorded in EVAL_SCENES_r05.json.
 """
 
 import argparse
