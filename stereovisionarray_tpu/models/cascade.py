@@ -55,8 +55,10 @@ loss where ``|r|`` clamps); ``mode="band"`` remains as the fallback.
 retained for comparison and as the vertical-structure fallback.
 
 Measured at (540, 768, 256) on a v5e chip (``scripts/perf_cascade.py``,
-EVAL_CASCADE_r05): smooth cascade ~6x flat at bad-2 within 10x of flat
-(vs 157x for band mode), validity and EPE BETTER than flat.
+EVAL_CASCADE_r05, interleaved fat-spread protocol): smooth cascade
+1.71 ms/frame vs flat 8.89 — 5.2x — at bad-2 0.047% vs flat 0.008%
+(band mode was 157x flat's tail), with validity (0.994 vs 0.981), EPE
+(0.113 vs 0.157) and median error (0.092 vs 0.130) all BETTER than flat.
 """
 
 from __future__ import annotations
