@@ -92,8 +92,9 @@ __all__ = ["cascade_two_view_disparity", "CascadeOutput", "SMOOTH_R"]
 # coarse field; with the scale-matched coarse window the residual no
 # longer reaches past 36 on the eval scene (R=36 and R=44 score
 # IDENTICALLY, bad-2 0.037%), and R=36 measures 0.44 ms/frame faster
-# end-to-end (within-run A/B vs flat: 6.1x vs 4.6x — /tmp r_ab probe,
-# CLAUDE.md round-5 notes).
+# end-to-end (within-run A/B vs flat: 6.1x vs 4.6x —
+# scripts/probe_cascade_tuning.py radius; timing per-R needs fresh
+# processes, see that probe's note).
 SMOOTH_R = 36
 
 
