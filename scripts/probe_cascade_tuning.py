@@ -11,8 +11,10 @@ sequential protocol mis-read the cascade by +-0.4 ms/frame across runs).
             NOTE: per-pass isolation (fresh processes, because of the
             jit-cache monkeypatch trap) showed the COARSE pass must keep
             8 paths — coarse-4 blows the sustained-slope fixture to 1.3%.
-  radius  — SMOOTH_R 36 vs 44 (R=36 scores identically on the eval scene
-            once the coarse window is scale-matched; 6.1x vs 4.6x).
+  radius  — SMOOTH_R 36 vs 44 via the THREADED smooth_r static arg.
+            Result of record: identical accuracy, 1.889 vs 1.911 ms —
+            the 0.44 ms "R effect" first seen across processes was
+            tunnel drift, not taps.
   df      — fine_disparities 24 vs 32 (24: bad-2 0.047%, 5.3x; 32:
             0.028%, 4.75x — 24 is the eval protocol config).
   d64     — cascade at the BENCH shape (540x768x64): 0.505 vs flat
@@ -119,13 +121,13 @@ if args.what == "paths":
                                     internal_paths=None),
                  "flat": flat_one})
 elif args.what == "radius":
-    for R in (36, 44):
-        C.SMOOTH_R = R
-        accuracy(f"R={R}", fine_disparities=32)
-    C.SMOOTH_R = 36
-    print("NOTE: timing A/B of R requires fresh processes per R "
-          "(SMOOTH_R is baked at trace time; the jit cache would "
-          "otherwise reuse the first compile)")
+    # smooth_r is a STATIC ARG (threaded precisely so this A/B cannot hit
+    # the jit-cache monkeypatch trap)
+    accuracy("R=36", fine_disparities=32, smooth_r=36)
+    accuracy("R=44", fine_disparities=32, smooth_r=44)
+    interleaved({"R36": casc_one(fine_disparities=32, smooth_r=36),
+                 "R44": casc_one(fine_disparities=32, smooth_r=44),
+                 "flat": flat_one})
 elif args.what == "df":
     accuracy("df=24", fine_disparities=24)
     accuracy("df=32", fine_disparities=32)

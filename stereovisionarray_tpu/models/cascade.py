@@ -89,12 +89,13 @@ __all__ = ["cascade_two_view_disparity", "CascadeOutput", "SMOOTH_R"]
 
 # residual-chain half-range: tap count is 2*SMOOTH_R+1. 44 was sized for
 # the 1/(1-g')-amplified column deviation under the r5-interim (7,9)
-# coarse field; with the scale-matched coarse window the residual no
-# longer reaches past 36 on the eval scene (R=36 and R=44 score
-# IDENTICALLY, bad-2 0.037%), and R=36 measures 0.44 ms/frame faster
-# end-to-end (within-run A/B vs flat: 6.1x vs 4.6x —
-# scripts/probe_cascade_tuning.py radius; timing per-R needs fresh
-# processes, see that probe's note).
+# coarse field; with the scale-matched coarse window the residual never
+# reaches past 36 on the eval scene (R=36 and R=44 score identically).
+# Timing: once smooth_r was THREADED as a static arg (killing the
+# jit-cache trap) the properly interleaved A/B reads R36 1.889 vs R44
+# 1.911 ms/frame — the 0.44 ms "R effect" first measured across
+# processes was drift (scripts/probe_cascade_tuning.py radius). 36 kept:
+# equal accuracy, slightly cheaper, smaller VMEM window.
 SMOOTH_R = 36
 
 
@@ -153,7 +154,7 @@ def _hat_matmul_warp(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 
 
 def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
-                    interpret: bool = False):
+                    interpret: bool = False, smooth_r: int = None):
     """Warp ``right`` by the smooth field ``s_star`` (see module docstring).
 
     Composition (1D matmul INNER, residual chain OUTER):
@@ -177,6 +178,7 @@ def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
     Returns ``(wright, s_eff)`` with ``s_eff`` the EXACT realized field
     (same hat weights applied to ``k + g(x-k)``, valid under clamping);
     the decode must sample ``s_eff``."""
+    R = int(smooth_r) if smooth_r is not None else SMOOTH_R
     h, w = right.shape
     dt = right.dtype
     g = jnp.mean(s_star, axis=0)  # (W,)
@@ -190,7 +192,7 @@ def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
     # scene: |r| > 32 for 0.55% of pixels, > 44 for ~0.01% — R=32 was
     # exactly the r4->r5 0.159% tail)
     r = jnp.clip((s_star - g[None, :]) / (1.0 - gp[None, :]),
-                 -float(SMOOTH_R), float(SMOOTH_R))
+                 -float(R), float(R))
 
     # inner warp: ONE hat matmul by the 1D column field (per-column ->
     # exact for ANY g, jumps included; a matmul-OUTER arrangement instead
@@ -205,7 +207,7 @@ def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
     # traffic-bound in-kernel slices, probe_cascade2_stages.py); by the
     # hat identity sum_k w_k*k == r, so s_eff = r + sum_k w_k g(x-k) —
     # the EXACT realized field, including where r clamps
-    wright, g_samp = hat_sample(v1, r, -SMOOTH_R, SMOOTH_R, aux=g,
+    wright, g_samp = hat_sample(v1, r, -R, R, aux=g,
                                 interpret=interpret)
     s_eff = r + g_samp
     return wright, s_eff
@@ -225,6 +227,7 @@ def _smooth_prewarp(right: jnp.ndarray, s_star: jnp.ndarray,
         "mode",
         "slant_bias",
         "internal_paths",
+        "smooth_r",
     ),
 )
 def cascade_two_view_disparity(
@@ -241,6 +244,7 @@ def cascade_two_view_disparity(
     mode: str = "smooth",
     slant_bias: float = 0.0,
     internal_paths: Optional[int] = 4,
+    smooth_r: Optional[int] = None,  # residual-chain half-range (SMOOTH_R)
 ) -> CascadeOutput:
     """Large-range disparity via a coarse pass + residual fine pass.
 
@@ -340,7 +344,8 @@ def cascade_two_view_disparity(
         from stereovisionarray_tpu.backend import resolve_backend
 
         kern_interp = resolve_backend(backend) != "pallas"
-        wright, s_eff = _smooth_prewarp(right, s_star, interpret=kern_interp)
+        wright, s_eff = _smooth_prewarp(right, s_star, interpret=kern_interp,
+                                        smooth_r=smooth_r)
         offset_field = s_eff
     else:
         # ---- integer band offsets (round-4 path) ---------------------------
