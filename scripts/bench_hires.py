@@ -1,4 +1,4 @@
-"""High-resolution two-view scaling artifact — BENCH_HIRES_r04.json.
+"""High-resolution two-view scaling artifact — BENCH_HIRES_r05.json.
 
 The reference's working class is 540x768 (0.5x downscaled renders,
 ``/root/reference/src/CameraStereoVision.cpp:18``); production arrays ship
@@ -108,7 +108,7 @@ def main():
     if per_c > 0:
         report["cascade_d256_speedup"] = round(per_f / per_c, 2)
 
-    with open("BENCH_HIRES_r04.json", "w") as f:
+    with open("BENCH_HIRES_r05.json", "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(json.dumps(report, sort_keys=True))
 
