@@ -244,7 +244,11 @@ def cascade_two_view_disparity(
     mode: str = "smooth",
     slant_bias: float = 0.0,
     internal_paths: Optional[int] = 4,
-    smooth_r: Optional[int] = None,  # residual-chain half-range (SMOOTH_R)
+    # residual-chain half-range (default SMOOTH_R=36, tuned at 540x768).
+    # The residual is the field's column-DEVIATION in pixels, so it
+    # scales with resolution: at 1080p-class inputs pass ~2x (72) or
+    # accept coverage clamping on scenes with strong vertical structure.
+    smooth_r: Optional[int] = None,
 ) -> CascadeOutput:
     """Large-range disparity via a coarse pass + residual fine pass.
 
