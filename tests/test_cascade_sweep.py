@@ -288,3 +288,52 @@ def test_array_pipeline_cascade_config(rig_data=None):
         assert sel.sum() > 0.9 * inner.sum()
         meds[name] = np.median(np.abs(d[sel] - gt[sel]) / gt[sel])
     assert meds["cascade"] < max(3.0 * meds["flat"], 0.01), meds
+
+
+class TestSmoothVsBand:
+    def test_smooth_mode_beats_band_on_slants(self):
+        """The r5 regression guard: on a strongly slanted surface the
+        band pre-warp's quantization seams cost accuracy; the smooth
+        pre-warp (default) must match-or-beat it and stay within the
+        accuracy bar (EVAL_CASCADE_SWEEP_r04 -> r05: array bad-2
+        0.39% -> 0.057% == flat)."""
+        from stereovisionarray_tpu.datasets import SceneSpec
+        from stereovisionarray_tpu.models.plane_sweep import plane_sweep_depth
+
+        rig = reference_rig(
+            rows=3, cols=3, spacing=0.05, origin=(-0.05, -0.05),
+            resolution=RES,
+        )
+        scene = SceneSpec(
+            background_z=0.30, patches=(), sphere_radius=0.0,
+            slants=((-0.08, 0.08, -0.08, 0.08, 0.10, 0.9, 0.0),),
+        )
+        imgs, deps = render_camera_array(rig, RES, scene)
+        imgs = jnp.asarray(imgs)
+        gt = deps[REF]
+        inner = _inner(RES)
+        rel = {}
+        for mode in ("smooth", "band"):
+            out = _run_cascade(rig, imgs, mode=mode)
+            sel = np.asarray(out.valid) & inner
+            d = np.asarray(out.depth)
+            rel[mode] = np.abs(d[sel] - gt[sel]) / gt[sel]
+        # the FLAT sweep is the oracle: a strong slant carries the
+        # sweep's own fronto-parallel bias (EVAL_SCENES_r05: ~11-17%
+        # bad-2 in slant zones for EVERY pipeline), so the cascade is
+        # judged RELATIVE to flat, not on an absolute bar
+        flat = plane_sweep_depth(imgs, rig, REF, SRC, CFG, SGM,
+                                 shift_pad=SHIFT_PAD)
+        selF = np.asarray(flat.valid) & inner
+        relF = np.abs(np.asarray(flat.depth)[selF] - gt[selF]) / gt[selF]
+        bad_s = (rel["smooth"] > 0.02).mean()
+        bad_b = (rel["band"] > 0.02).mean()
+        bad_f = (relF > 0.02).mean()
+        assert bad_s <= bad_b + 1e-6, (bad_s, bad_b)
+        # current measured gap on this EXTREME slant (dz/dx = 0.9):
+        # smooth 11.1% vs flat 7.1% (the coarse pass adds its own
+        # fronto-parallel bias at 1/2 res) — pinned at 1.7x so a
+        # regression past the known gap fails while the honest gap
+        # itself is documented (EVAL_SCENES_r05 slant finding)
+        assert bad_s <= 1.7 * bad_f + 0.005, (bad_s, bad_f)
+        assert np.median(rel["smooth"]) <= 1.7 * np.median(relF) + 1e-4
