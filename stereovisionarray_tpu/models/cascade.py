@@ -72,7 +72,6 @@ import jax.numpy as jnp
 
 from stereovisionarray_tpu.config import CostConfig, SGMConfig
 from stereovisionarray_tpu.models.two_view import (
-    TwoViewOutput,
     disparity_to_depth,
     two_view_disparity,
 )

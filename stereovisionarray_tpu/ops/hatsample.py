@@ -28,7 +28,7 @@ Replaces the reference's per-pixel epipolar candidate addressing
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
